@@ -1,0 +1,30 @@
+"""Test harness: force an 8-virtual-device CPU platform before jax import.
+
+Multi-chip sharding paths are validated on this virtual mesh (the real
+environment has a single TPU chip); numerical tests are platform-agnostic.
+"""
+import os
+
+# force, don't setdefault: the launch environment pre-sets JAX_PLATFORMS to
+# the TPU platform and tests must run on the virtual CPU mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# persistent compilation cache: the suite recompiles the same kernels across
+# runs; this turns multi-minute reruns into seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+@pytest.fixture()
+def rng():
+    # fresh per test: keeps every test deterministic and order-independent
+    return np.random.RandomState(0)
