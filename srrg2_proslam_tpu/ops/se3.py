@@ -72,15 +72,32 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues formula, numerically safe near zero."""
-    theta2 = jnp.sum(w * w, axis=-1)
+def _exp_coefficients(theta2: jnp.ndarray):
+    """Stable f32 coefficients A = sin(t)/t, B = (1-cos t)/t^2, C = (t-sin t)/t^3.
+
+    The naive (1-cos t) form cancels catastrophically in float32 for
+    t in [1e-4, 1e-2] (1-cos t falls below f32 ulp of 1.0), which is the
+    typical inter-frame rotation regime of VO — B is therefore computed via
+    the half-angle identity 1-cos t = 2 sin^2(t/2) (stable for all t), and
+    A/C switch to Taylor series below t < 0.1 where their numerators cancel.
+    """
     theta = jnp.sqrt(theta2 + _EPS)
+    small = theta2 < 1e-2  # theta < 0.1 rad
+    A = jnp.where(small, 1.0 - theta2 / 6.0 + theta2 * theta2 / 120.0,
+                  jnp.sin(theta) / theta)
+    half_sin = jnp.sin(0.5 * theta)
+    B = jnp.where(theta2 < 1e-12, 0.5 - theta2 / 24.0,
+                  2.0 * half_sin * half_sin / (theta2 + _EPS))
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0 + theta2 * theta2 / 5040.0,
+                  (theta - jnp.sin(theta)) / (theta2 * theta + _EPS))
+    return A, B, C
+
+
+def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues formula, numerically safe near zero (f32-safe, see above)."""
+    theta2 = jnp.sum(w * w, axis=-1)
     W = skew(w)
-    # sin(t)/t and (1-cos(t))/t^2 with Taylor fallbacks.
-    small = theta2 < 1e-8
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS))
+    A, B, _ = _exp_coefficients(theta2)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return I + A[..., None, None] * W + B[..., None, None] * (W @ W)
 
@@ -119,12 +136,8 @@ def exp(xi: jnp.ndarray) -> jnp.ndarray:
     """
     v, w = xi[..., :3], xi[..., 3:]
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS)
     W = skew(w)
-    small = theta2 < 1e-8
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS))
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
-                  (theta - jnp.sin(theta)) / (theta2 * theta + _EPS))
+    _, B, C = _exp_coefficients(theta2)
     I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     R = exp_so3(w)
     V = I + B[..., None, None] * W + C[..., None, None] * (W @ W)
@@ -138,13 +151,15 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS)
     W = skew(w)
-    small = theta2 < 1e-8
-    # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS))
+    # V^{-1} = I - W/2 + coef W^2 with coef = (1 - (t/2) cot(t/2)) / t^2.
+    # The numerator cancels (~t^2/12) for small t, so switch to its Taylor
+    # series below t < 0.1 — the f32-stable analog of _exp_coefficients.
+    small = theta2 < 1e-2
+    half = 0.5 * theta
+    cot_half = jnp.cos(half) / (jnp.sin(half) + _EPS)
     coef = jnp.where(
-        small, 1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - A / (2.0 * B + _EPS)) / (theta2 + _EPS),
+        small, 1.0 / 12.0 + theta2 / 720.0 + theta2 * theta2 / 30240.0,
+        (1.0 - half * cot_half) / (theta2 + _EPS),
     )
     I = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     Vinv = I - 0.5 * W + coef[..., None, None] * (W @ W)
