@@ -1,0 +1,157 @@
+"""Headless SLAM benchmark harness (reference A2 parity).
+
+Capability parity with the reference benchmark app (reference
+srrg2_proslam/apps/app_benchmark.cpp): config-driven pipeline, per-frame
+timing, trajectory bookkeeping through local-map estimates, KITTI & TUM
+trajectory export, mean_frame_hz dump, and regression gating against the
+per-dataset CI thresholds (benchmarks/benchmark_*.cpp:17-21, see
+BASELINE.md).
+
+Usage:
+  python apps/app_benchmark.py --dataset kitti --sequence <dir> \
+      [--gt <poses.txt>] [--count N] [--config <config.json>] \
+      [--output traj] [--open-loop]
+
+With no --sequence it runs on the bundled test_data micro-sequence (5
+frames) — a fast sanity path.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax.numpy as jnp
+
+from srrg2_proslam_tpu.io import datasets
+from srrg2_proslam_tpu.metrics import trajectory as traj_metrics
+from srrg2_proslam_tpu.models.frontend import (
+    DepthAdaptorConfig, StereoAdaptorConfig, adapt_rgbd, adapt_stereo,
+)
+from srrg2_proslam_tpu.models.slam import GraphSLAM, GraphSLAMConfig
+from srrg2_proslam_tpu.utils import config as cfg
+
+# reference CI regression thresholds (benchmarks/benchmark_*.cpp:17-21)
+REGRESSION_GATES = {
+    "kitti": dict(max_mean_t=0.30, max_std_t=1.00),
+    "icl": dict(max_mean_t=0.02, max_std_t=0.10),
+    "tum": dict(max_mean_t=0.05, max_std_t=0.25),
+    "euroc": dict(max_mean_t=0.50, max_std_t=0.50),
+    "malaga": dict(max_mean_t=25.0, max_std_t=10.0),
+}
+
+CAMERAS = {
+    "kitti": datasets.kitti_camera,
+    "icl": datasets.icl_camera,
+    "tum": datasets.tum_camera,
+    "euroc": datasets.euroc_camera,
+    "malaga": datasets.malaga_camera,
+}
+
+
+def iter_frames(args):
+    if args.sequence is None:
+        yield from datasets.iter_bundled_kitti(
+            os.path.join(os.path.dirname(__file__), "..", "test_data"), "city"
+        )
+    elif args.dataset == "kitti":
+        yield from datasets.iter_kitti_odometry(args.sequence, args.gt,
+                                                count=args.count)
+    elif args.dataset in ("tum", "icl"):
+        yield from datasets.iter_tum_rgbd(args.sequence, count=args.count)
+    elif args.dataset == "euroc":
+        yield from datasets.iter_euroc_stereo(args.sequence, count=args.count)
+    else:
+        raise SystemExit(f"unsupported dataset {args.dataset}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="kitti", choices=sorted(CAMERAS))
+    ap.add_argument("--sequence", default=None, help="dataset folder")
+    ap.add_argument("--gt", default=None, help="ground-truth pose file")
+    ap.add_argument("--count", type=int, default=None)
+    ap.add_argument("--config", default=None, help="pipeline config JSON")
+    ap.add_argument("--output", default=None, help="trajectory file prefix")
+    ap.add_argument("--open-loop", action="store_true",
+                    help="disable loop closing (CI benchmark mode, "
+                         "benchmark_kitti.cpp:50-53)")
+    args = ap.parse_args()
+
+    rgbd = args.dataset in ("tum", "icl")
+    slam_config = (cfg.load(args.config) if args.config
+                   else GraphSLAMConfig())
+    if args.open_loop:
+        slam_config = cfg.replace(slam_config, enable_loop_closing=False)
+
+    frames = iter_frames(args)
+    first = next(iter(frames))
+    if rgbd:
+        cam = CAMERAS[args.dataset]()
+        adaptor = DepthAdaptorConfig()
+    else:
+        cam = CAMERAS[args.dataset](*first.left.shape) \
+            if args.dataset == "kitti" else CAMERAS[args.dataset]()
+        adaptor = StereoAdaptorConfig()
+
+    slam = GraphSLAM(cam, slam_config, model="rgbd" if rgbd else "stereo")
+
+    gt_poses = []
+    compute_time = 0.0
+    n = 0
+
+    def handle(fr):
+        nonlocal compute_time, n
+        t0 = time.perf_counter()
+        if rgbd:
+            meas = adapt_rgbd(jnp.asarray(fr.intensity), jnp.asarray(fr.depth),
+                              adaptor)
+        else:
+            meas = adapt_stereo(jnp.asarray(fr.left), jnp.asarray(fr.right),
+                                adaptor)
+        slam.process(meas.points, meas.desc, meas.valid, fr.timestamp)
+        compute_time += time.perf_counter() - t0
+        if fr.gt_pose is not None:
+            gt_poses.append(fr.gt_pose)
+        n += 1
+        if n % 100 == 0:
+            T = slam.robot_in_world()
+            print(f"frame {n}: maps={slam.num_maps} closures="
+                  f"{slam.num_closures} t={T[:3, 3].round(2)}")
+
+    handle(first)
+    for fr in frames:
+        handle(fr)
+
+    # mean_frame_hz definition: msgs / summed compute time
+    # (app_benchmark.cpp:350-366)
+    hz = n / max(compute_time, 1e-9)
+    print(f"processed {n} frames, mean_frame_hz={hz:.2f}")
+
+    est = slam.trajectory()
+    if args.output:
+        datasets.write_kitti_trajectory(args.output + "_kitti.txt", est)
+        datasets.write_tum_trajectory(args.output + "_tum.txt",
+                                      slam.timestamps(), est)
+        print(f"trajectories written to {args.output}_{{kitti,tum}}.txt")
+
+    if len(gt_poses) == len(est) and len(est) > 1:
+        err = traj_metrics.evaluate(est, gt_poses)
+        gates = REGRESSION_GATES[args.dataset]
+        regression = traj_metrics.is_regression(err, **gates)
+        print(json.dumps({
+            "mean_translation_rmse": err.mean_translation_rmse.tolist(),
+            "std_translation_rmse": err.std_translation_rmse.tolist(),
+            "mean_rotation_deg": err.mean_rotation_deg,
+            "ate_rmse": err.ate_rmse,
+            "mean_frame_hz": hz,
+            "regression": bool(regression),
+        }))
+        sys.exit(1 if regression else 0)
+
+
+if __name__ == "__main__":
+    main()

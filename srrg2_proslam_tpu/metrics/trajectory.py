@@ -29,12 +29,23 @@ def _rotation_angle_deg(R: np.ndarray) -> float:
     return float(np.degrees(np.arccos(c)))
 
 
-def align_se3(est_xyz: np.ndarray, gt_xyz: np.ndarray) -> np.ndarray:
-    """Least-squares SE3 alignment est->gt (rotation + translation, no scale)."""
+def align_se3(est_xyz: np.ndarray, gt_xyz: np.ndarray,
+              est0: np.ndarray = None, gt0: np.ndarray = None) -> np.ndarray:
+    """Least-squares SE3 alignment est->gt (rotation + translation, no scale).
+
+    Umeyama on positions is rotationally unconstrained when the trajectory
+    is (near-)collinear — e.g. a short straight drive — and then produces an
+    arbitrary roll that corrupts rotation errors.  In that degenerate case
+    (second singular value << first) fall back to first-pose alignment when
+    full poses are provided.
+    """
     mu_e = est_xyz.mean(axis=0)
     mu_g = gt_xyz.mean(axis=0)
     H = (est_xyz - mu_e).T @ (gt_xyz - mu_g)
-    U, _, Vt = np.linalg.svd(H)
+    U, S, Vt = np.linalg.svd(H)
+    degenerate = S[0] <= 0 or S[1] / max(S[0], 1e-12) < 1e-3
+    if degenerate and est0 is not None and gt0 is not None:
+        return gt0 @ np.linalg.inv(est0)
     D = np.eye(3)
     D[2, 2] = np.sign(np.linalg.det(Vt.T @ U.T))
     R = Vt.T @ D @ U.T
@@ -53,7 +64,7 @@ def evaluate(est: Sequence[np.ndarray], gt: Sequence[np.ndarray],
     assert len(est) == len(gt) and len(est) > 1
     est_xyz = np.stack([T[:3, 3] for T in est])
     gt_xyz = np.stack([T[:3, 3] for T in gt])
-    A = align_se3(est_xyz, gt_xyz) if align else np.eye(4)
+    A = align_se3(est_xyz, gt_xyz, est[0], gt[0]) if align else np.eye(4)
     est_aligned = [A @ T for T in est]
     d = np.stack([e[:3, 3] - g[:3, 3] for e, g in zip(est_aligned, gt)])
     per_axis_rmse = np.sqrt(np.mean(d * d, axis=0))

@@ -1,0 +1,283 @@
+"""Top-level graph SLAM orchestrator: local maps, loop closing, PGO, status.
+
+Capability parity with the reference's (externally-defined) MultiGraphSLAM3D
+control loop, whose complete flow is visible in the benchmark
+re-implementation (reference srrg2_proslam/apps/app_benchmark.cpp:55-185):
+initializer -> tracker preprocess/align -> status switch (Initializing/
+Tracking/Lost) -> splitting criterion -> loopDetect/loopValidate/optimize/
+relocalize -> makeNewMap -> merge.  Also covers
+LocalMapSplittingCriterionViewpoint3D (kitti.conf:542-550: new local map
+every 10 m / 0.25 rad) and MultiRelocalizer3D gates (kitti.conf:91-110).
+
+TPU-first redesign: the per-frame hot path is ONE jitted tracker step
+(models/tracker.py) and the host reads back a single small stats vector to
+drive the status machine (SURVEY.md §7.3 hard part 6).  Split-time work
+(descriptor-database insert, loop query, closure validation, PGO) are
+separate jitted stages that run only every ~hundreds of frames.  Local-map
+state is a fixed-capacity pose-graph (ops/pgo.py) plus the device-resident
+descriptor database (models/loop_closure.py); the trajectory is unrolled
+through optimized local-map estimates exactly like the reference benchmark
+(app_benchmark.cpp:195-203).
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils import config as cfg
+from ..ops import se3
+from ..ops import pgo
+from ..ops.pinhole import Camera
+from . import landmarks as lm
+from . import loop_closure
+from .tracker import TrackerConfig, TrackerState, initial_state, track_step
+
+
+@cfg.register
+class SplittingConfig:
+    """LocalMapSplittingCriterionViewpoint3D (kitti.conf:542-550)."""
+
+    maximum_translation_m: float = 10.0
+    maximum_rotation_rad: float = 0.25
+
+
+@cfg.register
+class RelocalizerConfig:
+    """MultiRelocalizer3D gates (kitti.conf:91-110)."""
+
+    max_translation: float = 10.0
+    relocalize_max_chi_inliers: float = 5.0
+    relocalize_min_inliers: int = 25
+    relocalize_min_inliers_ratio: float = 0.5
+
+
+@cfg.register
+class GraphSLAMConfig:
+    tracker: TrackerConfig = TrackerConfig()
+    splitting: SplittingConfig = SplittingConfig()
+    loop: loop_closure.LoopDetectorConfig = loop_closure.LoopDetectorConfig()
+    relocalizer: RelocalizerConfig = RelocalizerConfig()
+    pgo: pgo.PGOConfig = pgo.PGOConfig()
+    arena_capacity: int = 4096
+    max_local_maps: int = 512
+    max_edges: int = 1024
+    database_capacity: int = 65536
+    enable_loop_closing: bool = True
+    min_track_inliers: int = 6          # below this the tracker is Lost
+
+
+# tracker status machine (app_benchmark.cpp:123-178)
+INITIALIZING = "Initializing"
+TRACKING = "Tracking"
+LOST = "Lost"
+
+
+class FrameRecord(NamedTuple):
+    """Host-side per-frame bookkeeping for trajectory unrolling."""
+
+    timestamp: float
+    local_map_index: int
+    T_lm_robot: np.ndarray  # robot in its local map at this frame
+
+
+class GraphSLAM:
+    """Host orchestrator driving the jitted stages.
+
+    Usage mirrors the reference public API (slam->setRawData/compute,
+    example_slam_3d.cpp:106-124): call ``process(meas_points, desc, valid,
+    timestamp)`` per frame; read ``robot_in_world()``, ``trajectory()``,
+    ``status``.
+    """
+
+    def __init__(self, cam: Camera, config: GraphSLAMConfig = GraphSLAMConfig(),
+                 model: str = "stereo"):
+        self.cam = cam
+        self.config = config
+        self.model = model
+        self.status = INITIALIZING
+        self.tracker_state: TrackerState = initial_state(config.arena_capacity)
+        self.graph = pgo.empty_graph(config.max_local_maps, config.max_edges)
+        self.db = loop_closure.empty_database(config.database_capacity)
+        self.num_maps = 0
+        self.num_edges = 0
+        self.num_closures = 0
+        self.frames: List[FrameRecord] = []
+        self._frame_count = 0
+        self._frames_in_current_map = 0
+        self.last_stats = None
+
+    # ------------------------------------------------------------------
+    # local-map management
+    # ------------------------------------------------------------------
+
+    def _make_new_map(self, T_world_new_lm: jnp.ndarray):
+        """makeNewMap analog (app_benchmark.cpp:93-98,136-169)."""
+        idx = self.num_maps
+        if idx >= self.config.max_local_maps:
+            raise RuntimeError("local-map capacity exhausted")
+        self.graph = pgo.add_pose(self.graph, idx, T_world_new_lm)
+        if idx > 0:
+            # odometry factor: Z = T_prev^-1 T_new from tracker estimates
+            Z = se3.inverse(self.graph.poses[idx - 1]) @ T_world_new_lm
+            self.graph = pgo.add_edge(self.graph, self.num_edges,
+                                      idx - 1, idx, Z, weight=1.0)
+            self.num_edges += 1
+        self.num_maps = idx + 1
+        # fresh tracker state: empty arena, identity pose, keep velocity
+        vel = self.tracker_state.velocity
+        self.tracker_state = initial_state(self.config.arena_capacity)
+        self.tracker_state = self.tracker_state._replace(velocity=vel)
+        self._frames_in_current_map = 0
+        return idx
+
+    def _finalize_current_map(self):
+        """Push the finished local map's landmarks into the closure database."""
+        if not self.config.enable_loop_closing:
+            return
+        arena = self.tracker_state.arena
+        self.db = loop_closure.add_local_map(
+            self.db, arena.desc, arena.pos, arena.valid, self.num_maps - 1
+        )
+
+    def _detect_and_close_loops(self):
+        """loopDetect/loopValidate/optimize (app_benchmark.cpp:136-161)."""
+        if not self.config.enable_loop_closing or self.num_maps < 2:
+            return None
+        arena = self.tracker_state.arena
+        result = loop_closure.query(
+            arena.desc, arena.valid, self.num_maps - 1, self.db,
+            self.config.loop, self.config.max_local_maps,
+        )
+        cand = int(result.candidate_map)
+        if cand < 0:
+            return None
+        # validate: initial guess = relative pose from current graph estimates
+        T_init = se3.inverse(self.graph.poses[cand]) @ self.graph.poses[self.num_maps - 1]
+        closure = loop_closure.validate(arena.pos, result, T_init, self.config.loop)
+        if not bool(closure.accepted):
+            return None
+        # add closure factor reference->query and run global PGO
+        self.graph = pgo.add_edge(
+            self.graph, self.num_edges, cand, self.num_maps - 1,
+            closure.T_query_in_ref, weight=1.0,
+        )
+        self.num_edges += 1
+        self.num_closures += 1
+        self.graph, _ = pgo.optimize(self.graph, self.config.pgo)
+        return cand, closure
+
+    def _try_relocalize(self, cand: int, closure) -> bool:
+        """MultiRelocalizer3D analog: jump back into a nearby old local map.
+
+        Accepts when the closure's implied displacement is small and the
+        alignment meets the (looser) relocalizer gates (kitti.conf:91-110).
+        """
+        rc = self.config.relocalizer
+        t = np.asarray(closure.T_query_in_ref[:3, 3])
+        if (
+            np.linalg.norm(t) <= rc.max_translation
+            and int(closure.num_inliers) >= rc.relocalize_min_inliers
+            and float(closure.chi_per_inlier) <= rc.relocalize_max_chi_inliers
+        ):
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    # per-frame processing
+    # ------------------------------------------------------------------
+
+    def process(self, meas_points, meas_desc, meas_valid, timestamp: float = 0.0):
+        """One SLAM step on adapted measurements. Returns the frame stats."""
+        config = self.config
+        if self.num_maps == 0:
+            self._make_new_map(se3.identity())
+            self.status = INITIALIZING
+
+        state, stats, X = track_step(
+            self.tracker_state, meas_points, meas_desc, meas_valid,
+            self.cam, config.tracker, self.model,
+        )
+        self.tracker_state = state
+        # single small host readback drives the status machine
+        num_inliers = int(stats.num_inliers)
+        self.last_stats = stats
+
+        if self._frames_in_current_map == 0:
+            # the first frame of a fresh local map only populates the arena
+            # (matches are impossible against an empty scene) — the
+            # reference's Initializing status (app_benchmark.cpp:123-135)
+            self.status = INITIALIZING
+        elif num_inliers >= config.min_track_inliers:
+            self.status = TRACKING
+        else:
+            self.status = LOST
+        self._frames_in_current_map += 1
+
+        if self.status == LOST:
+            # Lost -> abandon and start a fresh local map at the predicted
+            # world pose (app_benchmark.cpp:163-169)
+            T_world_lm = self.graph.poses[self.num_maps - 1]
+            T_world_robot = T_world_lm @ state.T_lm_robot
+            self._finalize_current_map()
+            self._make_new_map(T_world_robot)
+            self.status = TRACKING
+        else:
+            # splitting criterion (viewpoint distance, kitti.conf:542-550)
+            t_norm = float(jnp.linalg.norm(state.T_lm_robot[:3, 3]))
+            w = se3.log_so3(state.T_lm_robot[:3, :3])
+            angle = float(jnp.linalg.norm(w))
+            if (
+                t_norm > config.splitting.maximum_translation_m
+                or angle > config.splitting.maximum_rotation_rad
+            ):
+                self._split()
+
+        self.frames.append(FrameRecord(
+            timestamp=timestamp,
+            local_map_index=self.num_maps - 1,
+            T_lm_robot=np.asarray(self.tracker_state.T_lm_robot),
+        ))
+        self._frame_count += 1
+        return stats
+
+    def _split(self):
+        """Close the current local map and open a new one at the robot pose."""
+        T_world_lm = self.graph.poses[self.num_maps - 1]
+        T_world_robot = T_world_lm @ self.tracker_state.T_lm_robot
+        self._finalize_current_map()
+        hit = self._detect_and_close_loops()
+        self._make_new_map(T_world_robot)
+        if hit is not None:
+            cand, closure = hit
+            if self._try_relocalize(cand, closure):
+                # re-anchor the fresh map on the optimized closure geometry
+                T_ref = self.graph.poses[cand]
+                T_new = T_ref @ closure.T_query_in_ref @ self.frames[-1].T_lm_robot \
+                    if self.frames else T_ref @ closure.T_query_in_ref
+                self.graph = pgo.add_pose(self.graph, self.num_maps - 1,
+                                          jnp.asarray(T_new, jnp.float32))
+
+    # ------------------------------------------------------------------
+    # accessors (example_slam_3d.cpp:106-141 parity)
+    # ------------------------------------------------------------------
+
+    def robot_in_world(self) -> np.ndarray:
+        T_world_lm = np.asarray(self.graph.poses[self.num_maps - 1])
+        return T_world_lm @ np.asarray(self.tracker_state.T_lm_robot)
+
+    def current_local_map(self) -> lm.LandmarkArena:
+        return self.tracker_state.arena
+
+    def trajectory(self) -> List[np.ndarray]:
+        """Unroll per-frame poses through (PGO-updated) local-map estimates.
+
+        app_benchmark.cpp:195-203 parity: keyframe-relative poses recombined
+        with the optimized local-map transforms.
+        """
+        poses = np.asarray(self.graph.poses)
+        return [poses[f.local_map_index] @ f.T_lm_robot for f in self.frames]
+
+    def timestamps(self) -> List[float]:
+        return [f.timestamp for f in self.frames]

@@ -1,0 +1,180 @@
+"""SE(3) pose-graph optimization (PGO) as one jitted batched Gauss-Newton.
+
+Capability parity with the reference's global optimization stage — an
+external srrg2_solver ``Solver`` (10 GN iterations, sparse block Cholesky,
+RobustifierSaturated policy) over local-map SE3 variables and closure
+factors (reference srrg2_proslam configurations/kitti.conf:420-444, usage
+graph()->addVariable/addFactor at tests/test_loop_closing.cpp:9-17) —
+redesigned TPU-first:
+
+  * the factor graph is a fixed-capacity edge array (i, j, Z_ij, weight,
+    mask), never pointer-wired objects;
+  * residuals/Jacobians of ALL factors are evaluated in one batch:
+    e = log(Z^-1 T_i^-1 T_j), with the small-residual adjoint Jacobians
+    J_j = Ad(Z^-1 T_i^-1), J_i = -J_j (left perturbation T <- exp(eps) T);
+  * the normal equations are scatter-added into a dense [6N, 6N] H — for
+    the local-map counts of this system (tens to low hundreds) a dense
+    on-chip Cholesky beats any sparse structure, and the batched residual
+    reduction is psum-ready for factor-sharded multi-device execution
+    (parallel/).
+
+Gauge freedom is fixed by an identity prior on pose 0 (the reference
+anchors the first local map instead of removing it from the system).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import config as cfg
+from . import se3
+
+
+@cfg.register
+class PGOConfig:
+    """Mirrors the reference global Solver setup (kitti.conf:420-444)."""
+
+    iterations: int = 10
+    damping: float = 1e-3
+    chi_threshold: float = 25.0     # RobustifierSaturated policy
+    anchor_weight: float = 1e6      # gauge prior on pose 0
+
+
+class PoseGraph(NamedTuple):
+    """Fixed-capacity SE3 pose graph.
+
+    poses: [N, 4, 4] variable estimates (world_from_localmap);
+    edges_*: [E] factor arrays with Z = measured j_in_i.
+    """
+
+    poses: jnp.ndarray          # [N, 4, 4]
+    pose_valid: jnp.ndarray     # [N] bool
+    edge_i: jnp.ndarray         # [E] int32
+    edge_j: jnp.ndarray         # [E] int32
+    edge_Z: jnp.ndarray         # [E, 4, 4] measured T_i^-1 T_j
+    edge_weight: jnp.ndarray    # [E] float32 information scale
+    edge_valid: jnp.ndarray     # [E] bool
+
+    @property
+    def capacity(self):
+        return self.poses.shape[0]
+
+    @property
+    def edge_capacity(self):
+        return self.edge_i.shape[0]
+
+
+def empty_graph(num_poses: int, num_edges: int) -> PoseGraph:
+    return PoseGraph(
+        poses=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (num_poses, 4, 4)),
+        pose_valid=jnp.zeros((num_poses,), bool),
+        edge_i=jnp.zeros((num_edges,), jnp.int32),
+        edge_j=jnp.zeros((num_edges,), jnp.int32),
+        edge_Z=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (num_edges, 4, 4)),
+        edge_weight=jnp.zeros((num_edges,), jnp.float32),
+        edge_valid=jnp.zeros((num_edges,), bool),
+    )
+
+
+def adjoint(T: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) adjoint for twist order [v, w]: [[R, [t]x R], [0, R]]."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    tR = se3.skew(t) @ R
+    top = jnp.concatenate([R, tR], axis=-1)
+    bottom = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def factor_terms(poses: jnp.ndarray, graph: PoseGraph, chi_threshold: float):
+    """Batched residuals + adjoint Jacobians for all edges.
+
+    Returns (e [E,6], A [E,6,6], w [E]) with A = Ad(Z^-1 T_i^-1); the
+    robust weight folds the saturated kernel and the edge information scale.
+    """
+    Ti = poses[graph.edge_i]
+    Tj = poses[graph.edge_j]
+    M = se3.inverse(graph.edge_Z) @ se3.inverse(Ti) @ Tj
+    e = se3.log(M)
+    A = adjoint(se3.inverse(graph.edge_Z) @ se3.inverse(Ti))
+    chi = jnp.sum(e * e, axis=-1) * graph.edge_weight
+    kw = jnp.minimum(1.0, chi_threshold / jnp.maximum(chi, 1e-12))
+    w = jnp.where(graph.edge_valid, graph.edge_weight * kw, 0.0)
+    return e, A, w, chi
+
+
+def normal_equations(poses: jnp.ndarray, graph: PoseGraph,
+                     chi_threshold: float, anchor_weight: float):
+    """Assemble the dense [6N, 6N] GN system by block scatter-add.
+
+    Factor-sharded callers psum the returned (H, b) — the reduction is a
+    plain sum over edges.
+    """
+    N = graph.capacity
+    e, A, w, chi = factor_terms(poses, graph, chi_threshold)
+    # block contributions: H_ii += A^T A, H_jj += A^T A, H_ij -= A^T A
+    AtA = jnp.einsum("eki,ekj,e->eij", A, A, w)     # [E, 6, 6]
+    Ate = jnp.einsum("eki,ek,e->ei", A, e, w)       # [E, 6]
+
+    H = jnp.zeros((N, N, 6, 6), jnp.float32)
+    H = H.at[graph.edge_i, graph.edge_i].add(AtA)
+    H = H.at[graph.edge_j, graph.edge_j].add(AtA)
+    H = H.at[graph.edge_i, graph.edge_j].add(-AtA)
+    H = H.at[graph.edge_j, graph.edge_i].add(-AtA)
+    b = jnp.zeros((N, 6), jnp.float32)
+    b = b.at[graph.edge_j].add(Ate)
+    b = b.at[graph.edge_i].add(-Ate)
+
+    # gauge anchor on pose 0 + tiny prior on invalid poses (keeps H SPD)
+    prior = jnp.where(jnp.arange(N) == 0, anchor_weight,
+                      jnp.where(graph.pose_valid, 0.0, 1.0))
+    H = H.at[jnp.arange(N), jnp.arange(N)].add(
+        prior[:, None, None] * jnp.eye(6)
+    )
+    chi_total = jnp.sum(jnp.where(graph.edge_valid,
+                                  jnp.minimum(chi, chi_threshold), 0.0))
+    return H, b, chi_total
+
+
+@partial(jax.jit, static_argnames="config")
+def optimize(graph: PoseGraph, config: PGOConfig):
+    """Run ``config.iterations`` GN steps; returns (graph', chi_final)."""
+    N = graph.capacity
+
+    def body(_, carry):
+        poses, _ = carry
+        H, b, chi = normal_equations(
+            poses, graph, config.chi_threshold, config.anchor_weight
+        )
+        Hd = H.transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
+        Hd = Hd + config.damping * jnp.eye(6 * N)
+        dx = -jnp.linalg.solve(Hd, b.reshape(-1)).reshape(N, 6)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        new_poses = jax.vmap(lambda d, T: se3.exp(d) @ T)(dx, poses)
+        return new_poses, chi
+
+    poses, chi = jax.lax.fori_loop(
+        0, config.iterations, body, (graph.poses, jnp.float32(0))
+    )
+    return graph._replace(poses=poses), chi
+
+
+def add_pose(graph: PoseGraph, index, T: jnp.ndarray) -> PoseGraph:
+    return graph._replace(
+        poses=graph.poses.at[index].set(T),
+        pose_valid=graph.pose_valid.at[index].set(True),
+    )
+
+
+def add_edge(graph: PoseGraph, slot, i, j, Z: jnp.ndarray,
+             weight: float = 1.0) -> PoseGraph:
+    return graph._replace(
+        edge_i=graph.edge_i.at[slot].set(i),
+        edge_j=graph.edge_j.at[slot].set(j),
+        edge_Z=graph.edge_Z.at[slot].set(Z),
+        edge_weight=graph.edge_weight.at[slot].set(weight),
+        edge_valid=graph.edge_valid.at[slot].set(True),
+    )

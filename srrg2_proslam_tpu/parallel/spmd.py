@@ -1,0 +1,138 @@
+"""SPMD sharding of the SLAM stages over a jax.sharding.Mesh.
+
+Sharding layout (1-D mesh axis ``"d"`` in round 1; the axes generalize to a
+2-D (map, feat) mesh for multi-host):
+
+  * frame step (``slam_step_spmd``): measurement rows sharded over ``d``
+    (the SLAM analog of sequence parallelism — each device owns a slice of
+    the frame's keypoints), landmark arena sharded over ``d`` for the
+    EKF/merge phase (tensor-parallel analog over the map).  The Hamming
+    cost matrix [N, M] is computed as sharded-N x gathered-M int8 matmul;
+    XLA inserts the all-gather for the column-side mutual-argmin reduction
+    and the psum for the Gauss-Newton (H, b) 6x6 system automatically from
+    the sharding annotations.
+  * loop query (``loop_query_spmd``): descriptor database sharded over
+    ``d`` rows — each device matches the query against its shard; the
+    per-map vote histogram reduction is a psum.
+  * PGO (``pgo_optimize_spmd``): factor arrays sharded over ``d``; each
+    device reduces its factors' contributions to the dense normal
+    equations, combined by psum; the small 6Nx6N solve is replicated.
+
+The reference has no parallel execution at all (SURVEY.md §2.3); these are
+new designs whose *math* matches the single-device kernels bit-for-shape.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import loop_closure
+from ..models.tracker import TrackerConfig, TrackerState, track_step
+from ..ops import pgo as pgo_ops
+from ..ops.pinhole import Camera
+
+
+def make_mesh(devices=None, axis: str = "d") -> Mesh:
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _pad_to_multiple(n: int, k: int) -> int:
+    return -(-n // k) * k
+
+
+def shard_frame_inputs(mesh: Mesh, state: TrackerState, points, desc, valid,
+                       axis: str = "d"):
+    """Place frame inputs with their SPMD layout on the mesh.
+
+    Measurement arrays shard along the keypoint axis; the tracker state's
+    arena shards along the landmark axis (pos/cov/desc/num_updates/valid);
+    poses/velocity replicate.  Capacities must divide the mesh size —
+    fixed-capacity arrays make this a static property of the config.
+    """
+    row = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    points = jax.device_put(points, row)
+    desc = jax.device_put(desc, row)
+    valid = jax.device_put(valid, row)
+    arena = state.arena
+    arena = arena._replace(
+        pos=jax.device_put(arena.pos, row),
+        cov=jax.device_put(arena.cov, row),
+        desc=jax.device_put(arena.desc, row),
+        num_updates=jax.device_put(arena.num_updates, row),
+        valid=jax.device_put(arena.valid, row),
+    )
+    state = TrackerState(
+        arena=arena,
+        T_lm_robot=jax.device_put(state.T_lm_robot, rep),
+        velocity=jax.device_put(state.velocity, rep),
+    )
+    return state, points, desc, valid
+
+
+@partial(jax.jit, static_argnames=("config", "cam", "model"))
+def _step(state, points, desc, valid, cam, config, model):
+    return track_step(state, points, desc, valid, cam, config, model)
+
+
+def slam_step_spmd(mesh: Mesh, state: TrackerState, points, desc, valid,
+                   cam: Camera, config: TrackerConfig, model: str = "stereo"):
+    """One sharded tracker step: same jitted program, GSPMD-partitioned.
+
+    The single-device ``track_step`` is already expressed as fixed-shape
+    batched linear algebra, so partitioning is purely a placement decision:
+    sharded inputs in, XLA propagates the layout through the cost matmuls,
+    reductions, and scatters, inserting collectives where the mutual-argmin
+    and (H, b) reductions cross shards.
+    """
+    state, points, desc, valid = shard_frame_inputs(mesh, state, points, desc, valid)
+    return _step(state, points, desc, valid, cam, config, model)
+
+
+def pgo_optimize_spmd(mesh: Mesh, graph: pgo_ops.PoseGraph,
+                      config: pgo_ops.PGOConfig, axis: str = "d"):
+    """Factor-sharded pose-graph optimization."""
+    row = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    graph = graph._replace(
+        poses=jax.device_put(graph.poses, rep),
+        pose_valid=jax.device_put(graph.pose_valid, rep),
+        edge_i=jax.device_put(graph.edge_i, row),
+        edge_j=jax.device_put(graph.edge_j, row),
+        edge_Z=jax.device_put(graph.edge_Z, row),
+        edge_weight=jax.device_put(graph.edge_weight, row),
+        edge_valid=jax.device_put(graph.edge_valid, row),
+    )
+    return pgo_ops.optimize(graph, config)
+
+
+def loop_query_spmd(mesh: Mesh, query_desc, query_valid, query_map_id,
+                    db: loop_closure.DescriptorDatabase,
+                    config: loop_closure.LoopDetectorConfig,
+                    num_maps: int, axis: str = "d"):
+    """Database-sharded loop-closure query.
+
+    The [Q, D] cost matrix partitions along D; per-query row minima and the
+    per-map vote histogram are cross-shard reductions XLA lowers to psum.
+    """
+    row = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    db = db._replace(
+        desc=jax.device_put(db.desc, row),
+        points=jax.device_put(db.points, row),
+        map_id=jax.device_put(db.map_id, row),
+        valid=jax.device_put(db.valid, row),
+        size=jax.device_put(db.size, rep),
+    )
+    query_desc = jax.device_put(query_desc, rep)
+    query_valid = jax.device_put(query_valid, rep)
+    return loop_closure.query(
+        query_desc, query_valid, query_map_id, db, config, num_maps
+    )

@@ -18,6 +18,10 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# the environment's TPU plugin registers itself at interpreter start and
+# overrides JAX_PLATFORMS from the env; the config update below wins.
+jax.config.update("jax_platforms", "cpu")
+
 # persistent compilation cache: the suite recompiles the same kernels across
 # runs; this turns multi-minute reruns into seconds.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

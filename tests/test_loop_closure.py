@@ -1,0 +1,142 @@
+"""Loop-closure tests: database votes, gating, and closure validation.
+
+Mirrors the reference loop-closing test design (synthetic worlds with exact
+descriptors shared along GT correspondences, reference srrg2_proslam/tests/
+test_loop_closing.cpp:38-136) with tolerance-based assertions instead of
+exact match counts (SURVEY.md §4.3).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from srrg2_proslam_tpu.models import loop_closure
+from srrg2_proslam_tpu.ops import se3
+
+
+def _random_desc(rng, n):
+    return rng.choice(np.array([-1, 1], np.int8), size=(n, 256))
+
+
+def _flip_bits(rng, desc, k):
+    """Flip k random bits per descriptor (controlled Hamming distance)."""
+    out = desc.copy()
+    for i in range(desc.shape[0]):
+        idx = rng.choice(256, size=k, replace=False)
+        out[i, idx] = -out[i, idx]
+    return out
+
+
+def test_query_finds_reference_map():
+    rng = np.random.RandomState(0)
+    cfg = loop_closure.LoopDetectorConfig(minimum_age_difference=1,
+                                          minimum_matches=25)
+    db = loop_closure.empty_database(512)
+    desc0 = _random_desc(rng, 100)
+    pts0 = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+    db = loop_closure.add_local_map(
+        db, jnp.asarray(desc0), jnp.asarray(pts0), jnp.ones(100, bool), 0
+    )
+    # decoy map with unrelated descriptors
+    db = loop_closure.add_local_map(
+        db, jnp.asarray(_random_desc(rng, 80)),
+        jnp.zeros((80, 3), jnp.float32), jnp.ones(80, bool), 1
+    )
+    # query = map 0's descriptors with 5 flipped bits (distance 5 << 25)
+    q_desc = _flip_bits(rng, desc0, 5)
+    res = loop_closure.query(
+        jnp.asarray(q_desc), jnp.ones(100, bool), 5, db, cfg, num_maps=8
+    )
+    assert int(res.candidate_map) == 0
+    assert int(res.votes) >= 80
+
+
+def test_query_age_gate_blocks_recent_maps():
+    rng = np.random.RandomState(1)
+    cfg = loop_closure.LoopDetectorConfig(minimum_age_difference=10)
+    db = loop_closure.empty_database(256)
+    desc = _random_desc(rng, 60)
+    db = loop_closure.add_local_map(
+        db, jnp.asarray(desc), jnp.zeros((60, 3), jnp.float32),
+        jnp.ones(60, bool), 3
+    )
+    # query map id 5: age difference 2 < 10 -> no candidate
+    res = loop_closure.query(
+        jnp.asarray(desc), jnp.ones(60, bool), 5, db, cfg, num_maps=8
+    )
+    assert int(res.candidate_map) == -1
+
+
+def test_validate_recovers_known_transform():
+    rng = np.random.RandomState(2)
+    cfg = loop_closure.LoopDetectorConfig(minimum_age_difference=0)
+    # reference map points + the query map displaced by a known SE3
+    pts_ref = rng.uniform(-5, 5, (120, 3)).astype(np.float32) + [0, 0, 10]
+    T_q_in_ref = np.asarray(
+        se3.exp(jnp.array([0.4, -0.2, 0.6, 0.02, -0.01, 0.05], jnp.float32))
+    )
+    T_ref_in_q = np.linalg.inv(T_q_in_ref)
+    pts_query = (pts_ref @ T_ref_in_q[:3, :3].T + T_ref_in_q[:3, 3]).astype(np.float32)
+
+    desc = _random_desc(rng, 120)
+    db = loop_closure.empty_database(512)
+    db = loop_closure.add_local_map(
+        db, jnp.asarray(desc), jnp.asarray(pts_ref), jnp.ones(120, bool), 0
+    )
+    res = loop_closure.query(
+        jnp.asarray(desc), jnp.ones(120, bool), 11, db, cfg, num_maps=8
+    )
+    assert int(res.candidate_map) == 0
+    closure = loop_closure.validate(
+        jnp.asarray(pts_query), res, se3.identity(), cfg
+    )
+    assert bool(closure.accepted)
+    t_err, ang = se3.error_t_and_angle(
+        closure.T_query_in_ref, jnp.asarray(T_q_in_ref.astype(np.float32))
+    )
+    # reference bound: closure transform within (0.2, 0.2, 0.5) m, 0.01 rad
+    # (test_loop_closing.cpp:128-135); noise-free synthetic is much tighter
+    assert float(jnp.max(t_err)) < 1e-2
+    assert float(ang) < 1e-3
+
+
+def test_validate_rejects_garbage_geometry():
+    rng = np.random.RandomState(3)
+    cfg = loop_closure.LoopDetectorConfig(minimum_age_difference=0)
+    pts_ref = rng.uniform(-5, 5, (80, 3)).astype(np.float32)
+    desc = _random_desc(rng, 80)
+    db = loop_closure.empty_database(256)
+    db = loop_closure.add_local_map(
+        db, jnp.asarray(desc), jnp.asarray(pts_ref), jnp.ones(80, bool), 0
+    )
+    res = loop_closure.query(
+        jnp.asarray(desc), jnp.ones(80, bool), 11, db, cfg, num_maps=8
+    )
+    # query points geometrically unrelated to the matched reference points
+    pts_garbage = rng.uniform(-50, 50, (80, 3)).astype(np.float32)
+    closure = loop_closure.validate(
+        jnp.asarray(pts_garbage), res, se3.identity(), cfg
+    )
+    assert not bool(closure.accepted)
+
+
+def test_sharded_query_matches_single_device():
+    from srrg2_proslam_tpu import parallel
+
+    rng = np.random.RandomState(4)
+    cfg = loop_closure.LoopDetectorConfig(minimum_age_difference=1)
+    db = loop_closure.empty_database(256)
+    desc = _random_desc(rng, 64)
+    pts = rng.uniform(-5, 5, (64, 3)).astype(np.float32)
+    db = loop_closure.add_local_map(
+        db, jnp.asarray(desc), jnp.asarray(pts), jnp.ones(64, bool), 0
+    )
+    q = _flip_bits(rng, desc, 3)
+    res1 = loop_closure.query(jnp.asarray(q), jnp.ones(64, bool), 5, db, cfg, 8)
+    mesh = parallel.make_mesh(jax.devices()[:8])
+    res2 = parallel.loop_query_spmd(
+        mesh, jnp.asarray(q), jnp.ones(64, bool), 5, db, cfg, 8
+    )
+    assert int(res1.candidate_map) == int(res2.candidate_map)
+    assert int(res1.votes) == int(res2.votes)
+    np.testing.assert_array_equal(np.asarray(res1.match_idx),
+                                  np.asarray(res2.match_idx))
