@@ -1,0 +1,99 @@
+"""Fused Pallas TPU kernel for the FAST-9/16 corner score.
+
+The XLA formulation in ops/features.py materializes 16 shifted full-image
+copies plus ~290 elementwise min/max passes — at 376x1241 that is the
+pipeline's dominant HBM-bandwidth cost (~10 ms/image, 90% of frame time).
+This kernel computes the identical score with the image resident in VMEM:
+
+  * the padded image (a camera image is ~2 MB, far under the ~16 MB VMEM)
+    is loaded once; the grid walks row stripes sliced out with pl.ds, so
+    halos are free — no overlapping-block DMA;
+  * the 16 cyclic 9-arc minima/maxima are computed with a doubling scheme
+    (min over 9 = min(min8, shifted plane), min8 via three halving levels),
+    cutting the elementwise ops from ~290 to ~100 per pixel — all VPU;
+  * score = max(max_k arcmin_bright[k], max_k arcmin_dark[k]) with
+    dark = -bright, i.e. -min_k arcmax_bright[k] — only the bright diffs
+    are ever materialized.
+
+Equivalence with ops/features.fast_scores is asserted in
+tests/test_fast_pallas.py (interpret mode on CPU, compiled on TPU).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .features import _FAST_OFFSETS, _ARC_LENGTH
+
+_PAD = 3          # Bresenham circle radius
+_TILE_R = 32      # rows per grid step (bounds live VMEM plane sets)
+_LANE = 128
+
+
+def _fast_kernel(img_ref, out_ref, *, threshold: float):
+    """Stripe i: read [TILE_R + 6, Wp] rows from the resident image."""
+    i = pl.program_id(0)
+    rows = _TILE_R
+    stripe = img_ref[pl.ds(i * _TILE_R, rows + 2 * _PAD), :]
+    center = stripe[_PAD:_PAD + rows, :]
+
+    # 16 shifted diffs (bright polarity); vertical shifts are static slices
+    # of the stripe, horizontal shifts are lane rolls (zero-padded borders
+    # are masked by the detector's BORDER margin downstream).
+    bright = []
+    for dy, dx in _FAST_OFFSETS:
+        s = stripe[_PAD + int(dy):_PAD + int(dy) + rows, :]
+        if int(dx) != 0:
+            # pltpu.roll requires a non-negative shift; -dx mod Wp is the
+            # same circular shift
+            s = pltpu.roll(s, (-int(dx)) % s.shape[1], axis=1)
+        bright.append(s - center)
+
+    # cyclic window min/max over _ARC_LENGTH = 9 consecutive of 16 planes:
+    # w9[k] = reduce(b[k..k+8]) = reduce(m8[k], b[k+8]),
+    # m8[k] = reduce(m4[k], m4[k+4]), m4[k] = reduce(m2[k], m2[k+2]),
+    # m2[k] = reduce(b[k], b[k+1])
+    def doubling(planes, op):
+        m2 = [op(planes[k], planes[(k + 1) % 16]) for k in range(16)]
+        m4 = [op(m2[k], m2[(k + 2) % 16]) for k in range(16)]
+        m8 = [op(m4[k], m4[(k + 4) % 16]) for k in range(16)]
+        return [op(m8[k], planes[(k + 8) % 16]) for k in range(16)]
+
+    assert _ARC_LENGTH == 9
+    wmin = doubling(bright, jnp.minimum)
+    wmax = doubling(bright, jnp.maximum)
+
+    bright_score = functools.reduce(jnp.maximum, wmin)
+    dark_score = -functools.reduce(jnp.minimum, wmax)
+    score = jnp.maximum(bright_score, dark_score)
+    out_ref[:] = jnp.where(score > threshold, score, 0.0)
+
+
+def fast_scores_pallas(image: jnp.ndarray, threshold: float,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Per-pixel FAST-9/16 score (identical to features.fast_scores).
+
+    image: [H, W] float32.  Returns [H, W] float32.
+    """
+    H, W = image.shape
+    Hp = -(-H // _TILE_R) * _TILE_R
+    Wp = -(-(W + 2 * _PAD) // _LANE) * _LANE
+    img_p = jnp.zeros((Hp + 2 * _PAD, Wp), image.dtype)
+    img_p = jax.lax.dynamic_update_slice(img_p, image, (_PAD, _PAD))
+
+    kernel = functools.partial(_fast_kernel, threshold=float(threshold))
+    out = pl.pallas_call(
+        kernel,
+        grid=(Hp // _TILE_R,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],  # resident image
+        out_specs=pl.BlockSpec(
+            (_TILE_R, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+        interpret=interpret,
+    )(img_p)
+    return out[:H, _PAD:_PAD + W]

@@ -73,6 +73,9 @@ class FeatureExtractorConfig:
     enable_nms: bool = True
     nms_window: int = 3
     smoothing_window: int = 5          # BRIEF pre-blur box size
+    # use the fused Pallas FAST kernel (ops/fast_pallas.py); bit-identical
+    # to the XLA path, wins on large images / batched frontends
+    use_pallas_fast: bool = False
 
 
 class Features(NamedTuple):
@@ -135,7 +138,12 @@ def detect_keypoints(image: jnp.ndarray, config: FeatureExtractorConfig):
     N = config.max_keypoints (rounded down to a multiple of grid cells).
     """
     H, W = image.shape
-    score_raw = fast_scores(image, config.detector_threshold)
+    if config.use_pallas_fast:
+        from .fast_pallas import fast_scores_pallas
+
+        score_raw = fast_scores_pallas(image, config.detector_threshold)
+    else:
+        score_raw = fast_scores(image, config.detector_threshold)
     score = score_raw
     if config.enable_nms:
         pooled = _maxpool2d(score, config.nms_window)

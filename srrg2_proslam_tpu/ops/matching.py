@@ -32,7 +32,11 @@ import jax.numpy as jnp
 from ..utils import config as cfg
 from .hamming import distance_matrix
 
-_BIG = jnp.float32(1e9)
+# NB: a Python scalar, NOT jnp.float32(1e9) — a module-level device array
+# becomes a committed captured constant in every jit that uses it, and on
+# tunneled platforms each execution then pays a per-call constant transfer
+# (~26 ms/call measured; the scalar literal folds into the program for free).
+_BIG = 1e9
 
 
 @cfg.register
