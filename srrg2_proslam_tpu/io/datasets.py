@@ -35,7 +35,16 @@ from ..ops.pinhole import Camera
 # --------------------------------------------------------------------------
 
 def load_gray(path: str) -> np.ndarray:
-    """Load an image as float32 grayscale [H, W] in 0..255."""
+    """Load an image as float32 grayscale [H, W] in 0..255.
+
+    Prefers the native C++ decoder (io/native.py, built from native/);
+    falls back to PIL when the library is not available.
+    """
+    from . import native
+
+    arr = native.decode(path) if native.available() else None
+    if arr is not None:
+        return native.to_gray_f32(arr)
     img = Image.open(path)
     if img.mode not in ("L", "I", "I;16"):
         img = img.convert("L")
@@ -52,8 +61,13 @@ def load_depth(path: str) -> np.ndarray:
     16UC1 PNGs (TUM/ICL exports). Scaling to meters happens in the adaptor
     (mirrors raw_data_preprocessor_monocular_depth.cpp:121-134).
     """
-    img = Image.open(path)
-    arr = np.asarray(img)
+    from . import native
+
+    arr = native.decode(path) if native.available() else None
+    if arr is None:
+        arr = np.asarray(Image.open(path))
+    if arr.ndim == 3:
+        arr = arr[:, :, 0]
     return np.ascontiguousarray(arr, dtype=np.float32)
 
 
