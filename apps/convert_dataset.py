@@ -1,0 +1,99 @@
+"""Dataset converter: raw dataset folders -> packed frame cache (A4 parity).
+
+Capability parity with the reference converters
+(reference srrg2_proslam/apps/convert_stereo_to_srrg2.cpp and
+convert_rgbd_to_srrg2.cpp, which serialize raw image folders into BOSS
+``messages.json`` logs) — redesigned for the TPU feed: frames are decoded
+once (native decoder + prefetcher when built) and packed into a single
+uncompressed .npz of uint8/uint16 arrays that mmap-loads at full disk
+bandwidth, skipping per-frame PNG decode on every benchmark run.
+
+Usage:
+  python apps/convert_dataset.py --dataset kitti --sequence <dir> \
+      [--gt poses.txt] [--count N] --output frames.npz
+  python apps/convert_dataset.py --dataset tum --sequence <dir> --output out.npz
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from srrg2_proslam_tpu.io import datasets
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", required=True,
+                    choices=["kitti", "tum", "icl", "euroc", "malaga"])
+    ap.add_argument("--sequence", required=True)
+    ap.add_argument("--gt", default=None)
+    ap.add_argument("--count", type=int, default=None)
+    ap.add_argument("--output", required=True)
+    args = ap.parse_args()
+
+    rgbd = args.dataset in ("tum", "icl")
+    if args.dataset == "kitti":
+        frames = datasets.iter_kitti_odometry(args.sequence, args.gt,
+                                              count=args.count)
+    elif rgbd:
+        frames = datasets.iter_tum_rgbd(args.sequence, count=args.count)
+    elif args.dataset == "euroc":
+        frames = datasets.iter_euroc_stereo(args.sequence, count=args.count)
+    else:
+        frames = datasets.iter_malaga_stereo(args.sequence, count=args.count)
+
+    stamps, a_imgs, b_imgs, gts = [], [], [], []
+    for fr in frames:
+        stamps.append(fr.timestamp)
+        if rgbd:
+            a_imgs.append(fr.intensity.astype(np.uint8))
+            b_imgs.append(fr.depth.astype(np.uint16))
+        else:
+            a_imgs.append(fr.left.astype(np.uint8))
+            b_imgs.append(fr.right.astype(np.uint8))
+        if fr.gt_pose is not None:
+            gts.append(fr.gt_pose)
+        if len(stamps) % 200 == 0:
+            print(f"converted {len(stamps)} frames")
+
+    out = {
+        "dataset": np.frombuffer(args.dataset.encode(), np.uint8),
+        "rgbd": np.asarray(rgbd),
+        "timestamps": np.asarray(stamps, np.float64),
+        "images_a": np.stack(a_imgs),
+        "images_b": np.stack(b_imgs),
+    }
+    if gts and len(gts) == len(stamps):
+        out["gt_poses"] = np.stack(gts).astype(np.float32)
+    np.savez(args.output, **out)
+    print(f"wrote {len(stamps)} frames to {args.output} "
+          f"({os.path.getsize(args.output) / 1e6:.1f} MB)")
+
+
+def iter_packed(path):
+    """Read a converted cache back as StereoFrame/RGBDFrame objects."""
+    data = np.load(path, mmap_mode="r")
+    rgbd = bool(data["rgbd"])
+    gt = data["gt_poses"] if "gt_poses" in data else None
+    for i, ts in enumerate(data["timestamps"]):
+        if rgbd:
+            yield datasets.RGBDFrame(
+                timestamp=float(ts),
+                intensity=np.asarray(data["images_a"][i], np.float32),
+                depth=np.asarray(data["images_b"][i], np.float32),
+                gt_pose=gt[i] if gt is not None else None,
+            )
+        else:
+            yield datasets.StereoFrame(
+                timestamp=float(ts),
+                left=np.asarray(data["images_a"][i], np.float32),
+                right=np.asarray(data["images_b"][i], np.float32),
+                gt_pose=gt[i] if gt is not None else None,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -248,6 +248,32 @@ def iter_euroc_stereo(
             return
 
 
+def iter_malaga_stereo(
+    sequence_dir: str, count: Optional[int] = None,
+) -> Iterator[StereoFrame]:
+    """Malaga urban dataset extract: ``Images/`` folder of rectified pairs
+    named ``img_CAMERA1_<timestamp>_{left,right}.jpg|png``."""
+    img_dir = os.path.join(sequence_dir, "Images")
+    if not os.path.isdir(img_dir):
+        img_dir = sequence_dir
+    lefts = sorted(f for f in os.listdir(img_dir) if "_left" in f)
+    emitted = 0
+    for name in lefts:
+        right_name = name.replace("_left", "_right")
+        right_path = os.path.join(img_dir, right_name)
+        if not os.path.exists(right_path):
+            continue
+        stamp = re.findall(r"\d+\.\d+", name)
+        yield StereoFrame(
+            timestamp=float(stamp[0]) if stamp else float(emitted),
+            left=load_gray(os.path.join(img_dir, name)),
+            right=load_gray(right_path),
+        )
+        emitted += 1
+        if count is not None and emitted >= count:
+            return
+
+
 # --------------------------------------------------------------------------
 # trajectory export (A2 parity: app_benchmark.cpp:205-240)
 # --------------------------------------------------------------------------

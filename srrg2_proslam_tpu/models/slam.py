@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import List, NamedTuple, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..utils import config as cfg
@@ -101,12 +102,19 @@ class GraphSLAM:
         self.graph = pgo.empty_graph(config.max_local_maps, config.max_edges)
         self.db = loop_closure.empty_database(config.database_capacity)
         self.num_maps = 0
+        self.current_map = -1   # index of the active local map
         self.num_edges = 0
         self.num_closures = 0
         self.frames: List[FrameRecord] = []
         self._frame_count = 0
         self._frames_in_current_map = 0
         self.last_stats = None
+        # host-side snapshots of finalized local-map arenas, indexed by map
+        # id — the store the relocalizer reloads from (the reference keeps
+        # every local map alive in its graph; we snapshot to host RAM)
+        self._map_arenas: dict = {}
+        self._maps_in_db: set = set()
+        self.num_relocalizations = 0
 
     # ------------------------------------------------------------------
     # local-map management
@@ -118,13 +126,16 @@ class GraphSLAM:
         if idx >= self.config.max_local_maps:
             raise RuntimeError("local-map capacity exhausted")
         self.graph = pgo.add_pose(self.graph, idx, T_world_new_lm)
-        if idx > 0:
-            # odometry factor: Z = T_prev^-1 T_new from tracker estimates
-            Z = se3.inverse(self.graph.poses[idx - 1]) @ T_world_new_lm
+        if self.current_map >= 0:
+            # odometry factor from the previously active map (which after a
+            # relocalization may be an OLD map, not idx - 1)
+            prev = self.current_map
+            Z = se3.inverse(self.graph.poses[prev]) @ T_world_new_lm
             self.graph = pgo.add_edge(self.graph, self.num_edges,
-                                      idx - 1, idx, Z, weight=1.0)
+                                      prev, idx, Z, weight=1.0)
             self.num_edges += 1
         self.num_maps = idx + 1
+        self.current_map = idx
         # fresh tracker state: empty arena, identity pose, keep velocity
         vel = self.tracker_state.velocity
         self.tracker_state = initial_state(self.config.arena_capacity)
@@ -133,12 +144,19 @@ class GraphSLAM:
         return idx
 
     def _finalize_current_map(self):
-        """Push the finished local map's landmarks into the closure database."""
+        """Push the finished local map's landmarks into the closure database
+        and snapshot its arena for relocalization reloads."""
+        arena = self.tracker_state.arena
+        self._map_arenas[self.current_map] = jax.tree_util.tree_map(
+            np.asarray, arena
+        )
         if not self.config.enable_loop_closing:
             return
-        arena = self.tracker_state.arena
+        if self.current_map in self._maps_in_db:
+            return  # re-finalizing a reloaded map: descriptors already stored
+        self._maps_in_db.add(self.current_map)
         self.db = loop_closure.add_local_map(
-            self.db, arena.desc, arena.pos, arena.valid, self.num_maps - 1
+            self.db, arena.desc, arena.pos, arena.valid, self.current_map
         )
 
     def _detect_and_close_loops(self):
@@ -147,20 +165,20 @@ class GraphSLAM:
             return None
         arena = self.tracker_state.arena
         result = loop_closure.query(
-            arena.desc, arena.valid, self.num_maps - 1, self.db,
+            arena.desc, arena.valid, self.current_map, self.db,
             self.config.loop, self.config.max_local_maps,
         )
         cand = int(result.candidate_map)
         if cand < 0:
             return None
         # validate: initial guess = relative pose from current graph estimates
-        T_init = se3.inverse(self.graph.poses[cand]) @ self.graph.poses[self.num_maps - 1]
+        T_init = se3.inverse(self.graph.poses[cand]) @ self.graph.poses[self.current_map]
         closure = loop_closure.validate(arena.pos, result, T_init, self.config.loop)
         if not bool(closure.accepted):
             return None
         # add closure factor reference->query and run global PGO
         self.graph = pgo.add_edge(
-            self.graph, self.num_edges, cand, self.num_maps - 1,
+            self.graph, self.num_edges, cand, self.current_map,
             closure.T_query_in_ref, weight=1.0,
         )
         self.num_edges += 1
@@ -218,7 +236,7 @@ class GraphSLAM:
         if self.status == LOST:
             # Lost -> abandon and start a fresh local map at the predicted
             # world pose (app_benchmark.cpp:163-169)
-            T_world_lm = self.graph.poses[self.num_maps - 1]
+            T_world_lm = self.graph.poses[self.current_map]
             T_world_robot = T_world_lm @ state.T_lm_robot
             self._finalize_current_map()
             self._make_new_map(T_world_robot)
@@ -236,35 +254,46 @@ class GraphSLAM:
 
         self.frames.append(FrameRecord(
             timestamp=timestamp,
-            local_map_index=self.num_maps - 1,
+            local_map_index=self.current_map,
             T_lm_robot=np.asarray(self.tracker_state.T_lm_robot),
         ))
         self._frame_count += 1
         return stats
 
     def _split(self):
-        """Close the current local map and open a new one at the robot pose."""
-        T_world_lm = self.graph.poses[self.num_maps - 1]
-        T_world_robot = T_world_lm @ self.tracker_state.T_lm_robot
+        """Close the current local map; loop-close; relocalize or open a new map."""
+        T_world_lm = self.graph.poses[self.current_map]
+        T_lm_robot = self.tracker_state.T_lm_robot
+        T_world_robot = T_world_lm @ T_lm_robot
         self._finalize_current_map()
         hit = self._detect_and_close_loops()
-        self._make_new_map(T_world_robot)
         if hit is not None:
             cand, closure = hit
             if self._try_relocalize(cand, closure):
-                # re-anchor the fresh map on the optimized closure geometry
-                T_ref = self.graph.poses[cand]
-                T_new = T_ref @ closure.T_query_in_ref @ self.frames[-1].T_lm_robot \
-                    if self.frames else T_ref @ closure.T_query_in_ref
-                self.graph = pgo.add_pose(self.graph, self.num_maps - 1,
-                                          jnp.asarray(T_new, jnp.float32))
+                # reload the old local map instead of opening a new one
+                # (MultiRelocalizer3D re-enters old maps, kitti.conf:91-110;
+                # app_benchmark.cpp:150-161 reloads via closure geometry)
+                arena_np = self._map_arenas[cand]
+                arena = jax.tree_util.tree_map(jnp.asarray, arena_np)
+                self.tracker_state = self.tracker_state._replace(
+                    arena=arena,
+                    T_lm_robot=jnp.asarray(closure.T_query_in_ref @ T_lm_robot,
+                                           jnp.float32),
+                )
+                # the reloaded map keeps its (PGO-updated) graph pose; frames
+                # now attach to the old map index
+                self.num_relocalizations += 1
+                self._frames_in_current_map = 1  # arena is populated
+                self.current_map = cand
+                return
+        self._make_new_map(T_world_robot)
 
     # ------------------------------------------------------------------
     # accessors (example_slam_3d.cpp:106-141 parity)
     # ------------------------------------------------------------------
 
     def robot_in_world(self) -> np.ndarray:
-        T_world_lm = np.asarray(self.graph.poses[self.num_maps - 1])
+        T_world_lm = np.asarray(self.graph.poses[self.current_map])
         return T_world_lm @ np.asarray(self.tracker_state.T_lm_robot)
 
     def current_local_map(self) -> lm.LandmarkArena:
