@@ -138,10 +138,15 @@ def track_step(
     weights_all = 1.0 + jnp.log1p(arena.num_updates.astype(jnp.float32))
 
     # ---- alignment: static re-association rounds ---------------------------
+    # coarse-to-fine radius schedule over rounds: loosest stage while the
+    # motion prediction is cold, tightest at the end — the fixed-shape
+    # equivalent of the reference matcher's widen/shrink radius dynamics
+    # (correspondence_finder_projective_base_impl.cpp:227-288)
+    n_stages = len(config.matcher.radius_stages)
     matches = None
     stage = jnp.int32(0)
     stats = None
-    for _ in range(config.rounds):
+    for r in range(config.rounds):
         # scene clipping = frustum mask over the whole arena (M2 redesign)
         pts_sensor = se3.transform_points(X, arena.pos)
         proj_uv, in_view = project(cam, pts_sensor)
@@ -150,6 +155,7 @@ def track_step(
             meas_uv, meas_desc, meas_valid,
             proj_uv, arena.desc, proj_valid,
             config.matcher,
+            force_stage=max(n_stages - 1 - r, 0),
         )
         idx = jnp.maximum(matches.idx, 0)
         pts_moving = arena.pos[idx]

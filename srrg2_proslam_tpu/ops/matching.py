@@ -187,6 +187,7 @@ def match_projective(
     proj_desc: jnp.ndarray,
     proj_valid: jnp.ndarray,
     config: ProjectiveMatcherConfig,
+    force_stage: int = -1,
 ):
     """Frame-to-map tracking matcher (reference R3-R6).
 
@@ -194,6 +195,16 @@ def match_projective(
     of moving map points into the image ([M, ...]).  Returns
     (Matches over rows=measurements with idx into map points, stage) where
     ``stage`` is the chosen schedule index (host-readable tracking health).
+
+    ``force_stage >= 0`` pins the schedule stage instead of the adaptive
+    choice — the tracker drives a coarse-to-fine schedule across its
+    re-association rounds (loose radius while the motion prediction is
+    cold, tight at the end), mirroring the reference's widen-on-loss /
+    shrink-on-convergence radius dynamics
+    (correspondence_finder_projective_base_impl.cpp:227-288).  The adaptive
+    tightest-good-stage selection alone is biased: with a cold prediction
+    only low-flow (far) points fall inside a tight radius and forward
+    translation is systematically underestimated.
     """
     cost = distance_matrix(meas_desc, proj_desc).astype(jnp.float32)
     delta = meas_uv[:, None, :] - proj_uv[None, :, :]
@@ -202,6 +213,14 @@ def match_projective(
     num_meas = jnp.maximum(jnp.sum(meas_valid), 1)
 
     n_stages = len(config.radius_stages)
+    if force_stage >= 0:
+        s = min(force_stage, n_stages - 1)
+        feasible = base_valid & (geo <= config.radius_stages[s])
+        m = match_cost_matrix(
+            cost, feasible, config.descriptor_stages[s], config.lowe_ratio
+        )
+        return m, jnp.int32(s)
+
     per_stage = []
     for s in range(n_stages):
         feasible = base_valid & (geo <= config.radius_stages[s])
