@@ -74,7 +74,10 @@ def main():
     ap.add_argument("--sequence", default=None, help="dataset folder")
     ap.add_argument("--gt", default=None, help="ground-truth pose file")
     ap.add_argument("--count", type=int, default=None)
-    ap.add_argument("--config", default=None, help="pipeline config JSON")
+    ap.add_argument("--config", default=None,
+                    help="pipeline config JSON (see configurations/)")
+    ap.add_argument("--adaptor-config", default=None,
+                    help="adaptor config JSON (see configurations/)")
     ap.add_argument("--output", default=None, help="trajectory file prefix")
     ap.add_argument("--open-loop", action="store_true",
                     help="disable loop closing (CI benchmark mode, "
@@ -91,11 +94,13 @@ def main():
     first = next(iter(frames))
     if rgbd:
         cam = CAMERAS[args.dataset]()
-        adaptor = DepthAdaptorConfig()
+        adaptor = (cfg.load(args.adaptor_config) if args.adaptor_config
+                   else DepthAdaptorConfig())
     else:
         cam = CAMERAS[args.dataset](*first.left.shape) \
             if args.dataset == "kitti" else CAMERAS[args.dataset]()
-        adaptor = StereoAdaptorConfig()
+        adaptor = (cfg.load(args.adaptor_config) if args.adaptor_config
+                   else StereoAdaptorConfig())
 
     slam = GraphSLAM(cam, slam_config, model="rgbd" if rgbd else "stereo")
 

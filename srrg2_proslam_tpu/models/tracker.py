@@ -40,6 +40,9 @@ from ..ops.gn import (
     stereo_projective_system,
 )
 from ..ops.ekf import LandmarkEKFConfig, ekf_update_batch, initial_covariance
+from ..ops.landmark_estimators import (
+    WeightedMeanConfig, weighted_mean_update_batch,
+)
 from . import landmarks as lm
 from .landmarks import LandmarkArena
 
@@ -60,6 +63,12 @@ class TrackerConfig:
     matcher: ProjectiveMatcherConfig = ProjectiveMatcherConfig()
     merger: MergerConfig = MergerConfig()
     ekf: LandmarkEKFConfig = LandmarkEKFConfig()
+    weighted_mean: WeightedMeanConfig = WeightedMeanConfig()
+    # which landmark estimator refines matched landmarks at merge time,
+    # mirroring the reference's config-selected estimator families
+    # (LandmarkEstimatorEKF* | LandmarkEstimatorWeightedMean, kitti.conf):
+    # "ekf" | "weighted_mean"
+    landmark_estimator: str = "ekf"
     rounds: int = 3                   # re-association rounds
     gn_iterations: int = 5            # GN bursts per round (ref reprojects every 5)
     damping: float = 1e-6             # kitti.conf:831
@@ -188,16 +197,33 @@ def track_step(
     dist_by_lm = jnp.full((M + 1,), 1e9, jnp.float32).at[idx_safe].set(matches.distance)[:M]
     matched_lm = matched_lm & (dist_by_lm <= config.merger.maximum_distance_appearance)
 
-    ekf_model = "stereo" if model == "stereo" else "projective_depth"
-    ekf_out = ekf_update_batch(
-        arena.pos, arena.cov, z_by_lm, matched_lm, X, cam, ekf_model, config.ekf
-    )
-    num_merges = jnp.sum(ekf_out.accepted)
+    if config.landmark_estimator == "weighted_mean":
+        # reference LandmarkEstimatorWeightedMean: running count-weighted
+        # mean of sensor_in_world * landmark_in_sensor
+        p_sensor_meas, meas_ok, _ = _adapt_to_sensor_points(
+            z_by_lm, matched_lm, cam, model, config.minimum_disparity_px
+        )
+        p_world_meas = se3.transform_points(se3.inverse(X), p_sensor_meas)
+        wm = weighted_mean_update_batch(
+            arena.pos, arena.num_updates, p_world_meas,
+            matched_lm & meas_ok, config.weighted_mean,
+        )
+        new_pos, new_cov, accepted = wm.position, arena.cov, wm.accepted
+    else:
+        ekf_model = "stereo" if model == "stereo" else "projective_depth"
+        ekf_out = ekf_update_batch(
+            arena.pos, arena.cov, z_by_lm, matched_lm, X, cam, ekf_model,
+            config.ekf,
+        )
+        new_pos, new_cov, accepted = (
+            ekf_out.position, ekf_out.covariance, ekf_out.accepted
+        )
+    num_merges = jnp.sum(accepted)
     arena = arena._replace(
-        pos=ekf_out.position,
-        cov=ekf_out.covariance,
+        pos=new_pos,
+        cov=new_cov,
         desc=jnp.where(matched_lm[:, None], desc_by_lm, arena.desc),
-        num_updates=arena.num_updates + ekf_out.accepted.astype(jnp.int32),
+        num_updates=arena.num_updates + accepted.astype(jnp.int32),
     )
 
     # ---- merge: ranked binned insertion of unmatched measurements ----------

@@ -34,7 +34,34 @@ def register(cls):
     return cls
 
 
+def _ensure_registry_populated() -> None:
+    """Import every config-bearing module so JSON loads work cold.
+
+    Registration happens at class definition; a process that only imported
+    the config loader would otherwise fail to resolve type names (the
+    reference's BOSS registry has the same property and solves it with the
+    instances.cpp registration TUs, SURVEY.md X1).
+    """
+    import importlib
+
+    for mod in (
+        "srrg2_proslam_tpu.ops.features",
+        "srrg2_proslam_tpu.ops.matching",
+        "srrg2_proslam_tpu.ops.ekf",
+        "srrg2_proslam_tpu.ops.landmark_estimators",
+        "srrg2_proslam_tpu.ops.pgo",
+        "srrg2_proslam_tpu.ops.ba",
+        "srrg2_proslam_tpu.models.frontend",
+        "srrg2_proslam_tpu.models.tracker",
+        "srrg2_proslam_tpu.models.loop_closure",
+        "srrg2_proslam_tpu.models.slam",
+    ):
+        importlib.import_module(mod)
+
+
 def registered(name: str) -> Type:
+    if name not in _REGISTRY:
+        _ensure_registry_populated()
     return _REGISTRY[name]
 
 
@@ -57,7 +84,7 @@ def to_dict(obj: Any) -> Any:
 
 def from_dict(data: Any) -> Any:
     if isinstance(data, dict) and "type" in data:
-        cls = _REGISTRY[data["type"]]
+        cls = registered(data["type"])
         kwargs = {}
         field_types = {f.name: f for f in dataclasses.fields(cls)}
         for key, value in data.items():
@@ -68,7 +95,9 @@ def from_dict(data: Any) -> Any:
             kwargs[key] = from_dict(value)
         return cls(**kwargs)
     if isinstance(data, list):
-        return [from_dict(v) for v in data]
+        # JSON has no tuples; configs are hashable statics closed over jits,
+        # so sequences always come back as tuples
+        return tuple(from_dict(v) for v in data)
     if isinstance(data, dict):
         return {k: from_dict(v) for k, v in data.items()}
     return data
