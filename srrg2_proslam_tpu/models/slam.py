@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import config as cfg
+from ..ops import ba as ba_ops
 from ..ops import se3
 from ..ops import pgo
 from ..ops.pinhole import Camera
@@ -55,12 +56,28 @@ class RelocalizerConfig:
 
 
 @cfg.register
+class LocalBAConfig:
+    """Split-time joint refinement of the finished local map (ops/ba.py).
+
+    Capability beyond the reference (which refines structure only via the
+    landmark estimators): keyframe poses + landmarks of the finished map are
+    jointly optimized before the map enters the closure database.
+    """
+
+    enabled: bool = False
+    max_keyframes: int = 8
+    keyframe_stride: int = 2   # record every k-th frame as a BA keyframe
+    ba: ba_ops.BAConfig = ba_ops.BAConfig()
+
+
+@cfg.register
 class GraphSLAMConfig:
     tracker: TrackerConfig = TrackerConfig()
     splitting: SplittingConfig = SplittingConfig()
     loop: loop_closure.LoopDetectorConfig = loop_closure.LoopDetectorConfig()
     relocalizer: RelocalizerConfig = RelocalizerConfig()
     pgo: pgo.PGOConfig = pgo.PGOConfig()
+    local_ba: LocalBAConfig = LocalBAConfig()
     arena_capacity: int = 4096
     max_local_maps: int = 512
     max_edges: int = 1024
@@ -115,6 +132,9 @@ class GraphSLAM:
         self._map_arenas: dict = {}
         self._maps_in_db: set = set()
         self.num_relocalizations = 0
+        # local-BA keyframe records of the ACTIVE map: (T_lm_robot np,
+        # match_idx np, gn_meas np, mask np)
+        self._ba_keyframes: list = []
 
     # ------------------------------------------------------------------
     # local-map management
@@ -141,6 +161,7 @@ class GraphSLAM:
         self.tracker_state = initial_state(self.config.arena_capacity)
         self.tracker_state = self.tracker_state._replace(velocity=vel)
         self._frames_in_current_map = 0
+        self._ba_keyframes = []
         return idx
 
     def _finalize_current_map(self):
@@ -233,6 +254,9 @@ class GraphSLAM:
             self.status = LOST
         self._frames_in_current_map += 1
 
+        if config.local_ba.enabled and self.status == TRACKING:
+            self._record_ba_keyframe(meas_points, stats)
+
         if self.status == LOST:
             # Lost -> abandon and start a fresh local map at the predicted
             # world pose (app_benchmark.cpp:163-169)
@@ -260,8 +284,64 @@ class GraphSLAM:
         self._frame_count += 1
         return stats
 
+    def _record_ba_keyframe(self, meas_points, stats):
+        """Keep the most recent keyframes' associations for split-time BA."""
+        lba = self.config.local_ba
+        if self._frames_in_current_map % lba.keyframe_stride != 0:
+            return
+        if self.model == "stereo":
+            gn_meas = np.asarray(meas_points[:, :3])   # (uL, vL, uR)
+        else:
+            gn_meas = np.asarray(meas_points)          # (u, v, d)
+        self._ba_keyframes.append((
+            np.asarray(self.tracker_state.T_lm_robot),
+            np.asarray(stats.match_idx),
+            gn_meas,
+            np.asarray(stats.match_mask),
+        ))
+        if len(self._ba_keyframes) > lba.max_keyframes:
+            self._ba_keyframes.pop(0)
+
+    def _run_local_ba(self):
+        """Jointly refine the finished map's keyframes + landmarks."""
+        lba = self.config.local_ba
+        if len(self._ba_keyframes) < 2:
+            return
+        arena = self.tracker_state.arena
+        P = lba.max_keyframes
+        N = self._ba_keyframes[0][2].shape[0]
+        L = arena.capacity
+        problem = ba_ops.empty_problem(P, L, P * N)
+        poses = np.broadcast_to(np.eye(4, dtype=np.float32), (P, 4, 4)).copy()
+        pose_valid = np.zeros(P, bool)
+        obs_kf = np.zeros(P * N, np.int32)
+        obs_lm = np.zeros(P * N, np.int32)
+        obs_z = np.zeros((P * N, 3), np.float32)
+        obs_valid = np.zeros(P * N, bool)
+        for k, (T, idx, z, mask) in enumerate(self._ba_keyframes):
+            poses[k] = T
+            pose_valid[k] = True
+            sl = slice(k * N, (k + 1) * N)
+            obs_kf[sl] = k
+            obs_lm[sl] = np.maximum(idx, 0)
+            obs_z[sl] = z
+            obs_valid[sl] = mask
+        problem = problem._replace(
+            poses=jnp.asarray(poses), pose_valid=jnp.asarray(pose_valid),
+            points=arena.pos, point_valid=arena.valid,
+            obs_kf=jnp.asarray(obs_kf), obs_lm=jnp.asarray(obs_lm),
+            obs_z=jnp.asarray(obs_z), obs_valid=jnp.asarray(obs_valid),
+        )
+        refined, chi = ba_ops.optimize(problem, self.cam, self.model, lba.ba)
+        self.tracker_state = self.tracker_state._replace(
+            arena=arena._replace(pos=refined.points)
+        )
+
     def _split(self):
         """Close the current local map; loop-close; relocalize or open a new map."""
+        if self.config.local_ba.enabled:
+            # polish the finished map before it enters the closure database
+            self._run_local_ba()
         T_world_lm = self.graph.poses[self.current_map]
         T_lm_robot = self.tracker_state.T_lm_robot
         T_world_robot = T_world_lm @ T_lm_robot

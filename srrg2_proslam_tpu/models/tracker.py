@@ -84,7 +84,9 @@ class TrackerState(NamedTuple):
 
 
 class TrackStats(NamedTuple):
-    """One small per-frame readback driving the host status machine."""
+    """Per-frame outputs: scalar stats (the host status-machine readback)
+    plus the final association (read only by consumers that need it, e.g.
+    local bundle adjustment — JAX transfers leaves lazily)."""
 
     num_measurements: jnp.ndarray
     num_matches: jnp.ndarray
@@ -93,6 +95,8 @@ class TrackStats(NamedTuple):
     num_merges: jnp.ndarray
     num_additions: jnp.ndarray
     matcher_stage: jnp.ndarray
+    match_idx: jnp.ndarray    # [N] int32 landmark index per measurement (-1)
+    match_mask: jnp.ndarray   # [N] bool
 
 
 def initial_state(capacity: int) -> TrackerState:
@@ -298,5 +302,7 @@ def track_step(
         num_merges=num_merges,
         num_additions=num_additions,
         matcher_stage=stage,
+        match_idx=matches.idx,
+        match_mask=matches.mask,
     )
     return new_state, out_stats, jnp.where(aligned, X, se3.inverse(T_pred))

@@ -16,3 +16,4 @@ from .spmd import (  # noqa: F401
     pgo_optimize_spmd,
     loop_query_spmd,
 )
+from . import multihost  # noqa: F401
