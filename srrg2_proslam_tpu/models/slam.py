@@ -115,7 +115,8 @@ class GraphSLAM:
         self.config = config
         self.model = model
         self.status = INITIALIZING
-        self.tracker_state: TrackerState = initial_state(config.arena_capacity)
+        self.tracker_state: TrackerState = initial_state(
+            config.arena_capacity, estimator=config.tracker.landmark_estimator)
         self.graph = pgo.empty_graph(config.max_local_maps, config.max_edges)
         self.db = loop_closure.empty_database(config.database_capacity)
         self.num_maps = 0
@@ -158,7 +159,9 @@ class GraphSLAM:
         self.current_map = idx
         # fresh tracker state: empty arena, identity pose, keep velocity
         vel = self.tracker_state.velocity
-        self.tracker_state = initial_state(self.config.arena_capacity)
+        self.tracker_state = initial_state(
+            self.config.arena_capacity,
+            estimator=self.config.tracker.landmark_estimator)
         self.tracker_state = self.tracker_state._replace(velocity=vel)
         self._frames_in_current_map = 0
         self._ba_keyframes = []
@@ -355,10 +358,16 @@ class GraphSLAM:
                 # app_benchmark.cpp:150-161 reloads via closure geometry)
                 arena_np = self._map_arenas[cand]
                 arena = jax.tree_util.tree_map(jnp.asarray, arena_np)
+                buf = self.tracker_state.meas_buf
+                if buf is not None:
+                    # smoother buffers belong to the abandoned query map;
+                    # the reloaded map starts with empty observation history
+                    buf = jax.tree_util.tree_map(jnp.zeros_like, buf)
                 self.tracker_state = self.tracker_state._replace(
                     arena=arena,
                     T_lm_robot=jnp.asarray(closure.T_query_in_ref @ T_lm_robot,
                                            jnp.float32),
+                    meas_buf=buf,
                 )
                 # the reloaded map keeps its (PGO-updated) graph pose; frames
                 # now attach to the old map index

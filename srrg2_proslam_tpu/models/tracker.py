@@ -41,7 +41,12 @@ from ..ops.gn import (
 )
 from ..ops.ekf import LandmarkEKFConfig, ekf_update_batch, initial_covariance
 from ..ops.landmark_estimators import (
-    WeightedMeanConfig, weighted_mean_update_batch,
+    SmootherConfig,
+    WeightedMeanConfig,
+    add_measurements,
+    empty_measurement_buffer,
+    smoother_update_batch,
+    weighted_mean_update_batch,
 )
 from . import landmarks as lm
 from .landmarks import LandmarkArena
@@ -64,10 +69,12 @@ class TrackerConfig:
     merger: MergerConfig = MergerConfig()
     ekf: LandmarkEKFConfig = LandmarkEKFConfig()
     weighted_mean: WeightedMeanConfig = WeightedMeanConfig()
+    smoother: SmootherConfig = SmootherConfig()
     # which landmark estimator refines matched landmarks at merge time,
     # mirroring the reference's config-selected estimator families
-    # (LandmarkEstimatorEKF* | LandmarkEstimatorWeightedMean, kitti.conf):
-    # "ekf" | "weighted_mean"
+    # (LandmarkEstimatorEKF* | LandmarkEstimatorWeightedMean |
+    # LandmarkEstimatorPoseBasedSmoother, kitti.conf):
+    # "ekf" | "weighted_mean" | "smoother"
     landmark_estimator: str = "ekf"
     rounds: int = 3                   # re-association rounds
     gn_iterations: int = 5            # GN bursts per round (ref reprojects every 5)
@@ -81,6 +88,10 @@ class TrackerState(NamedTuple):
     arena: LandmarkArena
     T_lm_robot: jnp.ndarray     # robot pose in the local-map frame (4x4)
     velocity: jnp.ndarray       # constant-velocity twist [6] (robot frame/frame)
+    # per-landmark camera-measurement ring buffers, present only when the
+    # pose-based smoother estimator is selected (None otherwise — a static
+    # property of the config, so jit sees a consistent pytree)
+    meas_buf: object = None
 
 
 class TrackStats(NamedTuple):
@@ -99,11 +110,15 @@ class TrackStats(NamedTuple):
     match_mask: jnp.ndarray   # [N] bool
 
 
-def initial_state(capacity: int) -> TrackerState:
+def initial_state(capacity: int, estimator: str = "ekf",
+                  smoother_slots: int = 8) -> TrackerState:
+    buf = (empty_measurement_buffer(capacity, smoother_slots)
+           if estimator == "smoother" else None)
     return TrackerState(
         arena=lm.empty_arena(capacity),
         T_lm_robot=se3.identity(),
         velocity=jnp.zeros(6, jnp.float32),
+        meas_buf=buf,
     )
 
 
@@ -201,7 +216,24 @@ def track_step(
     dist_by_lm = jnp.full((M + 1,), 1e9, jnp.float32).at[idx_safe].set(matches.distance)[:M]
     matched_lm = matched_lm & (dist_by_lm <= config.merger.maximum_distance_appearance)
 
-    if config.landmark_estimator == "weighted_mean":
+    meas_buf = state.meas_buf
+    if config.landmark_estimator == "smoother":
+        # reference LandmarkEstimatorPoseBasedSmoother: buffer this frame's
+        # observation per landmark, then structure-only GN over ALL buffered
+        # observations of every landmark (vmapped)
+        p_sensor_meas, meas_ok, _ = _adapt_to_sensor_points(
+            z_by_lm, matched_lm, cam, model, config.minimum_disparity_px
+        )
+        meas_buf = add_measurements(
+            meas_buf, z_by_lm[:, :2], p_sensor_meas, X,
+            matched_lm & meas_ok,
+        )
+        sm = smoother_update_batch(
+            arena.pos, meas_buf, arena.num_updates,
+            arena.valid & matched_lm, cam, config.smoother,
+        )
+        new_pos, new_cov, accepted = sm.position, arena.cov, sm.accepted
+    elif config.landmark_estimator == "weighted_mean":
         # reference LandmarkEstimatorWeightedMean: running count-weighted
         # mean of sensor_in_world * landmark_in_sensor
         p_sensor_meas, meas_ok, _ = _adapt_to_sensor_points(
@@ -293,6 +325,7 @@ def track_step(
         arena=arena,
         T_lm_robot=jnp.where(aligned, T_lm_robot_new, T_pred),
         velocity=jnp.where(aligned, vel_new, state.velocity),
+        meas_buf=meas_buf,
     )
     out_stats = TrackStats(
         num_measurements=jnp.sum(meas_valid),

@@ -15,5 +15,6 @@ from .spmd import (  # noqa: F401
     slam_step_spmd,
     pgo_optimize_spmd,
     loop_query_spmd,
+    ba_optimize_spmd,
 )
 from . import multihost  # noqa: F401

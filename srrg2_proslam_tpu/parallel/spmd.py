@@ -113,6 +113,32 @@ def pgo_optimize_spmd(mesh: Mesh, graph: pgo_ops.PoseGraph,
     return pgo_ops.optimize(graph, config)
 
 
+def ba_optimize_spmd(mesh: Mesh, problem, cam: Camera, model: str,
+                     config, axis: str = "d"):
+    """Observation-sharded bundle adjustment.
+
+    The per-observation residual/Jacobian evaluation and the block
+    scatter-adds into (Hpp, Hll, W, b) partition along the observation
+    axis; XLA reduces the partial block systems across shards.  Poses,
+    points, and the small reduced camera solve stay replicated.
+    """
+    from ..ops import ba as ba_ops
+
+    row = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    problem = problem._replace(
+        poses=jax.device_put(problem.poses, rep),
+        pose_valid=jax.device_put(problem.pose_valid, rep),
+        points=jax.device_put(problem.points, rep),
+        point_valid=jax.device_put(problem.point_valid, rep),
+        obs_kf=jax.device_put(problem.obs_kf, row),
+        obs_lm=jax.device_put(problem.obs_lm, row),
+        obs_z=jax.device_put(problem.obs_z, row),
+        obs_valid=jax.device_put(problem.obs_valid, row),
+    )
+    return ba_ops.optimize(problem, cam, model, config)
+
+
 def loop_query_spmd(mesh: Mesh, query_desc, query_valid, query_map_id,
                     db: loop_closure.DescriptorDatabase,
                     config: loop_closure.LoopDetectorConfig,

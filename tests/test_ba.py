@@ -109,3 +109,23 @@ def test_ba_noisy_measurements_reduce_chi_and_pose_error(rng):
         t_err, ang = se3.error_t_and_angle(out.poses[k], jnp.asarray(gt_poses[k]))
         assert float(jnp.max(t_err)) < 0.05
         assert float(ang) < 0.01
+
+
+def test_ba_sharded_matches_single_device(rng):
+    import jax
+    from srrg2_proslam_tpu import parallel
+
+    problem, gt_poses, gt_pts = _build_problem(rng, n_poses=4, n_points=64)
+    poses = np.asarray(problem.poses).copy()
+    for k in range(1, poses.shape[0]):
+        xi = rng.normal(0, 0.02, 6).astype(np.float32)
+        poses[k] = poses[k] @ np.asarray(se3.exp(jnp.asarray(xi)))
+    problem = problem._replace(poses=jnp.asarray(poses))
+    config = ba.BAConfig(iterations=4)
+    out1, chi1 = ba.optimize(problem, CAM, "stereo", config)
+    mesh = parallel.make_mesh(jax.devices()[:8])
+    out2, chi2 = parallel.ba_optimize_spmd(mesh, problem, CAM, "stereo", config)
+    np.testing.assert_allclose(np.asarray(out1.poses), np.asarray(out2.poses),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out1.points), np.asarray(out2.points),
+                               atol=1e-3)
