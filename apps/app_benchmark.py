@@ -64,6 +64,8 @@ def iter_frames(args):
         yield from datasets.iter_tum_rgbd(args.sequence, count=args.count)
     elif args.dataset == "euroc":
         yield from datasets.iter_euroc_stereo(args.sequence, count=args.count)
+    elif args.dataset == "malaga":
+        yield from datasets.iter_malaga_stereo(args.sequence, count=args.count)
     else:
         raise SystemExit(f"unsupported dataset {args.dataset}")
 

@@ -144,12 +144,14 @@ def iter_bundled_kitti(root: str, sequence: str = "city") -> Iterator[StereoFram
     )
     gt = _kitti_pose_lines(os.path.join(folder, "gt.txt"))
     for i, name in enumerate(lefts):
-        frame_id = re.findall(r"\d+", name)[0]
+        # gt.txt holds the FULL sequence trajectory; index by the frame id
+        # parsed from the filename (highway frames are 274/275, not 0/1)
+        frame_id = int(re.findall(r"\d+", name)[0])
         yield StereoFrame(
             timestamp=float(i) * 0.1,
             left=load_gray(os.path.join(folder, name)),
             right=load_gray(os.path.join(folder, f"image_right_{frame_id}.png")),
-            gt_pose=gt[i] if i < len(gt) else None,
+            gt_pose=gt[frame_id] if frame_id < len(gt) else None,
         )
 
 

@@ -96,6 +96,9 @@ def decode(path: str) -> Optional[np.ndarray]:
 
 def to_gray_f32(arr: np.ndarray) -> np.ndarray:
     """Match io.datasets.load_gray semantics: float32 grayscale 0..255."""
+    # scale by dtype, not data: a dark 16-bit frame must scale exactly like
+    # its bright neighbors (and like the PIL path in datasets.load_gray)
+    scale_16 = arr.dtype == np.uint16
     if arr.ndim == 3:
         if arr.shape[2] >= 3:
             arr = (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1]
@@ -103,7 +106,7 @@ def to_gray_f32(arr: np.ndarray) -> np.ndarray:
         else:
             arr = arr[:, :, 0]
     arr = np.asarray(arr, np.float32)
-    if arr.max(initial=0) > 255.0:
+    if scale_16:
         arr = arr / 256.0
     return np.ascontiguousarray(arr)
 

@@ -152,9 +152,7 @@ class GraphSLAM:
             # relocalization may be an OLD map, not idx - 1)
             prev = self.current_map
             Z = se3.inverse(self.graph.poses[prev]) @ T_world_new_lm
-            self.graph = pgo.add_edge(self.graph, self.num_edges,
-                                      prev, idx, Z, weight=1.0)
-            self.num_edges += 1
+            self._add_graph_edge(prev, idx, Z)
         self.num_maps = idx + 1
         self.current_map = idx
         # fresh tracker state: empty arena, identity pose, keep velocity
@@ -166,6 +164,15 @@ class GraphSLAM:
         self._frames_in_current_map = 0
         self._ba_keyframes = []
         return idx
+
+    def _add_graph_edge(self, i: int, j: int, Z, weight: float = 1.0):
+        """Bounds-checked factor insertion: a JAX out-of-range scatter would
+        silently drop the edge while counters kept advancing."""
+        if self.num_edges >= self.config.max_edges:
+            raise RuntimeError("pose-graph edge capacity exhausted")
+        self.graph = pgo.add_edge(self.graph, self.num_edges, i, j, Z,
+                                  weight=weight)
+        self.num_edges += 1
 
     def _finalize_current_map(self):
         """Push the finished local map's landmarks into the closure database
@@ -201,11 +208,7 @@ class GraphSLAM:
         if not bool(closure.accepted):
             return None
         # add closure factor reference->query and run global PGO
-        self.graph = pgo.add_edge(
-            self.graph, self.num_edges, cand, self.current_map,
-            closure.T_query_in_ref, weight=1.0,
-        )
-        self.num_edges += 1
+        self._add_graph_edge(cand, self.current_map, closure.T_query_in_ref)
         self.num_closures += 1
         self.graph, _ = pgo.optimize(self.graph, self.config.pgo)
         return cand, closure
@@ -374,6 +377,10 @@ class GraphSLAM:
                 self.num_relocalizations += 1
                 self._frames_in_current_map = 1  # arena is populated
                 self.current_map = cand
+                # keyframes recorded in the abandoned map are in its frame
+                # and index its arena — they must not feed the reloaded
+                # map's local BA
+                self._ba_keyframes = []
                 return
         self._make_new_map(T_world_robot)
 

@@ -179,11 +179,16 @@ def track_step(
         pts_sensor = se3.transform_points(X, arena.pos)
         proj_uv, in_view = project(cam, pts_sensor)
         proj_valid = arena.valid & in_view
+        # rounds 0..n-2 force the loose-to-tight schedule; the FINAL round
+        # uses the adaptive tightest-good-stage selection so the matcher can
+        # still widen when the converged prediction is bad (the reference's
+        # widen-on-loss fallback) and ``stage`` stays a live health signal
+        is_final = r == config.rounds - 1
         matches, stage = match_projective(
             meas_uv, meas_desc, meas_valid,
             proj_uv, arena.desc, proj_valid,
             config.matcher,
-            force_stage=max(n_stages - 1 - r, 0),
+            force_stage=-1 if is_final else max(n_stages - 1 - r, 0),
         )
         idx = jnp.maximum(matches.idx, 0)
         pts_moving = arena.pos[idx]
@@ -304,6 +309,7 @@ def track_step(
     R = T_sensor_to_lm[:3, :3]
     cov0_lm = jnp.einsum("ij,mjk,lk->mil", R, cov0, R)
     want = unmatched[order] & allow_adds
+    free_slots = arena.capacity - jnp.sum(arena.valid)
     arena = lm.insert(
         arena,
         pts_lm[order],
@@ -312,7 +318,12 @@ def track_step(
         want,
         config.merger.max_additions,
     )
-    num_additions = jnp.sum(want)
+    # report what lm.insert actually applied (capped by the insertion
+    # budget and the free arena slots), not the raw candidate count
+    num_additions = jnp.minimum(
+        jnp.sum(want),
+        jnp.minimum(config.merger.max_additions, free_slots),
+    )
 
     # ---- pose & velocity update --------------------------------------------
     T_lm_robot_new = se3.inverse(X)

@@ -86,7 +86,11 @@ def _exp_coefficients(theta2: jnp.ndarray):
     A = jnp.where(small, 1.0 - theta2 / 6.0 + theta2 * theta2 / 120.0,
                   jnp.sin(theta) / theta)
     half_sin = jnp.sin(0.5 * theta)
-    B = jnp.where(theta2 < 1e-12, 0.5 - theta2 / 24.0,
+    # B uses the SAME cutover as A/C: with a lower one (1e-12) the _EPS
+    # padding in the denominator dominates for theta in [1e-6, 3e-4] and
+    # shrinks B by orders of magnitude; the Taylor series is exact to 1e-9
+    # over the whole small branch
+    B = jnp.where(small, 0.5 - theta2 / 24.0 + theta2 * theta2 / 720.0,
                   2.0 * half_sin * half_sin / (theta2 + _EPS))
     C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0 + theta2 * theta2 / 5040.0,
                   (theta - jnp.sin(theta)) / (theta2 * theta + _EPS))

@@ -69,10 +69,17 @@ def shard_frame_inputs(mesh: Mesh, state: TrackerState, points, desc, valid,
         num_updates=jax.device_put(arena.num_updates, row),
         valid=jax.device_put(arena.valid, row),
     )
+    meas_buf = state.meas_buf
+    if meas_buf is not None:
+        # smoother ring buffers shard along the landmark axis like the arena
+        meas_buf = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, row), meas_buf
+        )
     state = TrackerState(
         arena=arena,
         T_lm_robot=jax.device_put(state.T_lm_robot, rep),
         velocity=jax.device_put(state.velocity, rep),
+        meas_buf=meas_buf,
     )
     return state, points, desc, valid
 

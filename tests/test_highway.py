@@ -31,7 +31,9 @@ def test_highway_heading_recovered():
         )
     assert int(stats.num_inliers) >= 10
     t = np.asarray(state.T_lm_robot)[:3, 3]
-    gt_dir = frames[1].gt_pose[:3, 3]
-    gt_dir = gt_dir / np.linalg.norm(gt_dir)
+    # gt_pose holds absolute sequence poses (rows 274/275 of the seq-01
+    # trajectory); the heading reference is the relative motion 274 -> 275
+    T_rel = np.linalg.inv(frames[0].gt_pose) @ frames[1].gt_pose
+    gt_dir = T_rel[:3, 3] / np.linalg.norm(T_rel[:3, 3])
     est_dir = t / max(np.linalg.norm(t), 1e-9)
     assert float(est_dir @ gt_dir) > 0.99, (est_dir, gt_dir)
