@@ -265,11 +265,18 @@ class GraphSLAM:
 
         if self.status == LOST:
             # Lost -> abandon and start a fresh local map at the predicted
-            # world pose (app_benchmark.cpp:163-169)
+            # world pose (app_benchmark.cpp:163-169); the motion model
+            # resets like the reference matcher's total-loss recovery
+            # (correspondence_finder_projective_base_impl.cpp:251-258) —
+            # dead-reckoning a stale velocity through repeated losses
+            # otherwise runs away
             T_world_lm = self.graph.poses[self.current_map]
             T_world_robot = T_world_lm @ state.T_lm_robot
             self._finalize_current_map()
             self._make_new_map(T_world_robot)
+            self.tracker_state = self.tracker_state._replace(
+                velocity=jnp.zeros(6, jnp.float32)
+            )
             self.status = TRACKING
         else:
             # splitting criterion (viewpoint distance, kitti.conf:542-550)

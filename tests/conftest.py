@@ -28,6 +28,12 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long end-to-end endurance scenarios"
+    )
+
+
 @pytest.fixture()
 def rng():
     # fresh per test: keeps every test deterministic and order-independent
