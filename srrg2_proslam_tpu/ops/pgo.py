@@ -41,6 +41,18 @@ class PGOConfig:
     damping: float = 1e-3
     chi_threshold: float = 25.0     # RobustifierSaturated policy
     anchor_weight: float = 1e6      # gauge prior on pose 0
+    # linear solver: "dense" Cholesky-style solve of the full 6Nx6N system
+    # (exact; fine to ~512 poses) or matrix-free "cg" with a block-Jacobi
+    # preconditioner (memory O(E) instead of O(N^2); scales to pod-sized
+    # graphs and its matvec is a factor-sharded psum)
+    solver: str = "dense"
+    cg_iterations: int = 100
+    cg_tolerance: float = 1e-6
+    # trust-region safeguard: the whole update is scaled so no pose moves by
+    # more than this twist norm per GN iteration.  Large graphs with
+    # accumulated loop error otherwise produce Newton steps (hundreds of
+    # meters) far outside the linearization's validity and diverge.
+    max_step: float = 1.0
 
 
 class PoseGraph(NamedTuple):
@@ -139,20 +151,111 @@ def normal_equations(poses: jnp.ndarray, graph: PoseGraph,
     return H, b, chi_total
 
 
+def _edge_blocks(poses, graph: PoseGraph, chi_threshold: float):
+    """Per-edge weighted block AtA [E,6,6] and gradient terms Ate [E,6]."""
+    e, A, w, chi = factor_terms(poses, graph, chi_threshold)
+    AtA = jnp.einsum("eki,ekj,e->eij", A, A, w)
+    Ate = jnp.einsum("eki,ek,e->ei", A, e, w)
+    chi_total = jnp.sum(jnp.where(graph.edge_valid,
+                                  jnp.minimum(chi, chi_threshold), 0.0))
+    return AtA, Ate, chi_total
+
+
+def _prior_diag(graph: PoseGraph, anchor_weight: float):
+    N = graph.capacity
+    return jnp.where(jnp.arange(N) == 0, anchor_weight,
+                     jnp.where(graph.pose_valid, 0.0, 1.0))
+
+
+def _solve_cg(graph: PoseGraph, AtA, b, prior, damping: float,
+              iterations: int, tolerance: float):
+    """Matrix-free preconditioned CG on the graph Laplacian-like system.
+
+    The matvec is two gathers + one segment scatter over the edge list —
+    memory O(E) (never materializing the [N,N,6,6] Hessian) and, with the
+    edge arrays sharded across a mesh, a psum-reduced collective: the
+    pod-scale path the dense solve cannot take.
+    """
+    N = graph.capacity
+    i_idx, j_idx = graph.edge_i, graph.edge_j
+
+    def matvec(x):
+        d = x[i_idx] - x[j_idx]
+        t = jnp.einsum("eij,ej->ei", AtA, d)
+        y = jnp.zeros((N, 6)).at[i_idx].add(t).at[j_idx].add(-t)
+        return y + (prior + damping)[:, None] * x
+
+    # block-Jacobi preconditioner: per-pose 6x6 diagonal blocks
+    D = jnp.zeros((N, 6, 6)).at[i_idx].add(AtA).at[j_idx].add(AtA)
+    D = D + (prior + damping)[:, None, None] * jnp.eye(6)
+    D_inv = jnp.linalg.inv(D)
+
+    def precond(r):
+        return jnp.einsum("nij,nj->ni", D_inv, r)
+
+    x0 = jnp.zeros((N, 6))
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+    b_norm2 = jnp.maximum(jnp.sum(b * b), 1e-30)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap)
+        converged = jnp.sum(r * r) <= tolerance * tolerance * b_norm2
+        alpha = jnp.where(converged | (jnp.abs(denom) < 1e-30),
+                          0.0, rz / denom)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz > 1e-30, rz_new / rz, 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iterations, body, (x0, r0, p0, rz0))
+    return x
+
+
 @partial(jax.jit, static_argnames="config")
 def optimize(graph: PoseGraph, config: PGOConfig):
     """Run ``config.iterations`` GN steps; returns (graph', chi_final)."""
     N = graph.capacity
 
-    def body(_, carry):
-        poses, _ = carry
+    def dense_step(poses):
         H, b, chi = normal_equations(
             poses, graph, config.chi_threshold, config.anchor_weight
         )
         Hd = H.transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
         Hd = Hd + config.damping * jnp.eye(6 * N)
-        dx = -jnp.linalg.solve(Hd, b.reshape(-1)).reshape(N, 6)
+        # symmetric Jacobi scaling: the anchor prior plus a long chain makes
+        # cond(H) exceed f32 otherwise (observed divergence at N=256)
+        s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(Hd), 1e-12))
+        Hs = Hd * s[:, None] * s[None, :]
+        dx = -(s * jnp.linalg.solve(Hs, s * b.reshape(-1))).reshape(N, 6)
+        return dx, chi
+
+    def cg_step(poses):
+        AtA, Ate, chi = _edge_blocks(poses, graph, config.chi_threshold)
+        b = jnp.zeros((N, 6)).at[graph.edge_j].add(Ate) \
+                             .at[graph.edge_i].add(-Ate)
+        prior = _prior_diag(graph, config.anchor_weight)
+        dx = _solve_cg(graph, AtA, -b, prior, config.damping,
+                       config.cg_iterations, config.cg_tolerance)
+        return dx, chi
+
+    step = cg_step if config.solver == "cg" else dense_step
+
+    def body(_, carry):
+        poses, _ = carry
+        dx, chi = step(poses)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        # trust region: scale the whole step so the largest per-pose twist
+        # stays within max_step
+        worst = jnp.max(jnp.linalg.norm(dx, axis=-1))
+        dx = dx * jnp.minimum(1.0, config.max_step / jnp.maximum(worst, 1e-12))
         new_poses = jax.vmap(lambda d, T: se3.exp(d) @ T)(dx, poses)
         return new_poses, chi
 

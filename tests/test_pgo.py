@@ -85,3 +85,34 @@ def test_adjoint_consistency():
     lhs = pgo.adjoint(T) @ xi
     rhs = se3.log(T @ se3.exp(xi) @ se3.inverse(T))
     np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-5)
+
+
+def test_pgo_cg_matches_dense():
+    rng = np.random.RandomState(5)
+    graph, gt = _ring_graph(n=8, edge_capacity=16, rng=rng)
+    dense, chi_d = pgo.optimize(graph, pgo.PGOConfig(iterations=8))
+    cg, chi_c = pgo.optimize(
+        graph, pgo.PGOConfig(iterations=8, solver="cg", cg_iterations=200)
+    )
+    np.testing.assert_allclose(np.asarray(dense.poses), np.asarray(cg.poses),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_pgo_cg_scales_to_large_graph():
+    # 256 poses in a noisy ring — the regime where the matrix-free solver
+    # is the right path at pod scale (the raw dense Newton step here is
+    # hundreds of meters and needs the trust region to converge at all)
+    rng = np.random.RandomState(6)
+    n = 256
+    graph, gt = _ring_graph(n=n, edge_capacity=2 * n, rng=rng)
+    out, chi = pgo.optimize(
+        graph,
+        pgo.PGOConfig(iterations=40, solver="cg", cg_iterations=300),
+    )
+    assert float(chi) < 1e-3
+    errs = []
+    for i in range(0, n, 16):
+        t_err, ang = se3.error_t_and_angle(out.poses[i], jnp.asarray(gt[i]))
+        errs.append(float(jnp.max(t_err)))
+    # 0.12 m absolute over a ~40 m-radius ring (0.3%)
+    assert max(errs) < 0.2, max(errs)
