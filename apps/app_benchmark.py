@@ -34,13 +34,17 @@ from srrg2_proslam_tpu.models.frontend import (
 from srrg2_proslam_tpu.models.slam import GraphSLAM, GraphSLAMConfig
 from srrg2_proslam_tpu.utils import config as cfg
 
-# reference CI regression thresholds (benchmarks/benchmark_*.cpp:17-21)
+# reference CI regression thresholds (benchmarks/benchmark_*.cpp:17-21);
+# "synthetic" is the rendered closed-loop sequence (io/synthetic.py) gated
+# at the KITTI thresholds — the only full-sequence regression runnable
+# without mounted datasets
 REGRESSION_GATES = {
     "kitti": dict(max_mean_t=0.30, max_std_t=1.00),
     "icl": dict(max_mean_t=0.02, max_std_t=0.10),
     "tum": dict(max_mean_t=0.05, max_std_t=0.25),
     "euroc": dict(max_mean_t=0.50, max_std_t=0.50),
     "malaga": dict(max_mean_t=25.0, max_std_t=10.0),
+    "synthetic": dict(max_mean_t=0.30, max_std_t=1.00),
 }
 
 CAMERAS = {
@@ -53,7 +57,11 @@ CAMERAS = {
 
 
 def iter_frames(args):
-    if args.sequence is None:
+    if args.dataset == "synthetic":
+        from srrg2_proslam_tpu.io import synthetic as syn
+
+        yield from syn.iter_rendered_loop(count=args.count)
+    elif args.sequence is None:
         yield from datasets.iter_bundled_kitti(
             os.path.join(os.path.dirname(__file__), "..", "test_data"), "city"
         )
@@ -72,7 +80,8 @@ def iter_frames(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", default="kitti", choices=sorted(CAMERAS))
+    ap.add_argument("--dataset", default="kitti",
+                    choices=sorted(CAMERAS) + ["synthetic"])
     ap.add_argument("--sequence", default=None, help="dataset folder")
     ap.add_argument("--gt", default=None, help="ground-truth pose file")
     ap.add_argument("--count", type=int, default=None)

@@ -45,6 +45,10 @@ def save(slam: "GraphSLAM", path: str) -> None:
     arrays.update(_flatten("db", slam.db))
     for map_id, arena in slam._map_arenas.items():
         arrays.update(_flatten(f"arena{map_id}", arena))
+    for map_id, entry in slam._db_entries.items():
+        arrays[f"dbent{map_id}_desc"] = entry["desc"]
+        arrays[f"dbent{map_id}_points"] = entry["points"]
+        arrays[f"dbent{map_id}_rows"] = entry["rows"]
     meta = {
         "num_maps": slam.num_maps,
         "current_map": slam.current_map,
@@ -55,7 +59,8 @@ def save(slam: "GraphSLAM", path: str) -> None:
         "frame_count": slam._frame_count,
         "status": slam.status,
         "model": slam.model,
-        "maps_in_db": sorted(slam._maps_in_db),
+        "db_entry_ids": list(slam._db_entries),
+        "num_db_evictions": slam.num_db_evictions,
         "map_arena_ids": sorted(slam._map_arenas),
         "frames": [
             {"timestamp": f.timestamp, "local_map_index": f.local_map_index,
@@ -87,7 +92,13 @@ def load(slam: "GraphSLAM", path: str) -> "GraphSLAM":
     slam._frame_count = meta["frame_count"]
     slam.status = meta["status"]
     slam.model = meta["model"]
-    slam._maps_in_db = set(meta["maps_in_db"])
+    slam._db_entries = {
+        mid: dict(desc=data[f"dbent{mid}_desc"],
+                  points=data[f"dbent{mid}_points"],
+                  rows=data[f"dbent{mid}_rows"])
+        for mid in meta["db_entry_ids"]
+    }
+    slam.num_db_evictions = meta.get("num_db_evictions", 0)
     slam._map_arenas = {
         map_id: jax.tree_util.tree_map(
             np.asarray,

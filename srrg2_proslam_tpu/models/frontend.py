@@ -100,7 +100,15 @@ def adapt_stereo(
         u_r = refine_disparity(image_left, image_right, uv_l, uv_r_matched)
     disparity = uv_l[:, 0] - u_r
     ok = matches.mask & (disparity >= config.minimum_disparity_px)
-    points = jnp.stack([uv_l[:, 0], uv_l[:, 1], u_r, uv_r_matched[:, 1]], axis=-1)
+    # v = epipolar row mean: under rectification vL and vR measure the same
+    # quantity with independent noise; emitting the mean makes the
+    # measurement EXACTLY consistent with the rectified projection model
+    # (triangulation already uses the mean, triangulator_rigid_stereo.cpp:
+    # 59-85).  Keeping raw vL leaves a systematic +-(vL-vR)/2 residual at
+    # the true pose that biases GN and random-walks the landmark/pose gauge
+    # on re-observation (root cause of the round-1 idempotence drift).
+    v_mean = 0.5 * (uv_l[:, 1] + uv_r_matched[:, 1])
+    points = jnp.stack([uv_l[:, 0], v_mean, u_r, v_mean], axis=-1)
     return StereoMeasurement(
         points=jnp.where(ok[:, None], points, 0.0),
         desc=jnp.where(ok[:, None], desc_l, jnp.int8(-1)),

@@ -86,6 +86,68 @@ def insert(
     )
 
 
+def merge_closure(
+    ref_arena: LandmarkArena,
+    query_arena: LandmarkArena,
+    T_query_in_ref: jnp.ndarray,  # [4, 4] maps query-map frame -> ref frame
+    match_row: jnp.ndarray,       # [Q] int32 ref-arena row per query row (-1)
+    match_mask: jnp.ndarray,      # [Q] bool accepted closure correspondences
+    max_insertions: int,
+) -> LandmarkArena:
+    """Merge a query map's landmarks into a reloaded reference map's arena.
+
+    The reference reloads an old local map through the tracker's closure
+    path (tracker->setClosure(correspondences, ...) at reference
+    apps/app_benchmark.cpp:150-161; the slice flow remaps closure
+    correspondences through clipper indices into a merger pass,
+    tracking/tracker_slice_processor_projective_depth.cpp:30-88).  Here:
+
+      * matched pairs combine by update-count-weighted mean (the weighted-
+        mean landmark estimator's rule) and the ref descriptor refreshes to
+        the query's most recent observation;
+      * unmatched query landmarks insert into the ref arena's free slots
+        (ranked by maturity, capped by ``max_insertions``).
+    """
+    M = ref_arena.capacity
+    q = transform(query_arena, T_query_in_ref)
+    w_q = jnp.maximum(query_arena.num_updates, 1).astype(jnp.float32)
+    ok = match_mask & query_arena.valid & (match_row >= 0)
+    row = jnp.where(ok, match_row, M)  # overflow sink
+
+    sum_pos = jnp.zeros((M + 1, 3), jnp.float32).at[row].add(
+        jnp.where(ok, w_q, 0.0)[:, None] * q.pos)[:M]
+    sum_w = jnp.zeros((M + 1,), jnp.float32).at[row].add(
+        jnp.where(ok, w_q, 0.0))[:M]
+    w_ref = ref_arena.num_updates.astype(jnp.float32)
+    touched = sum_w > 0
+    new_pos = jnp.where(
+        (touched & ref_arena.valid)[:, None],
+        (ref_arena.pos * w_ref[:, None] + sum_pos)
+        / jnp.maximum(w_ref + sum_w, 1.0)[:, None],
+        ref_arena.pos,
+    )
+    desc_pad = jnp.concatenate(
+        [ref_arena.desc, jnp.zeros((1, ref_arena.desc.shape[1]), jnp.int8)], 0
+    )
+    new_desc = desc_pad.at[row].set(q.desc)[:M]
+    new_desc = jnp.where((touched & ref_arena.valid)[:, None],
+                         new_desc, ref_arena.desc)
+    merged = ref_arena._replace(
+        pos=new_pos,
+        desc=new_desc,
+        num_updates=ref_arena.num_updates
+        + jnp.where(ref_arena.valid, sum_w.astype(jnp.int32), 0),
+    )
+
+    # insert unmatched query landmarks (most-mature first)
+    unmatched = query_arena.valid & ~ok
+    order = jnp.argsort(jnp.where(unmatched, -query_arena.num_updates, 1 << 30))
+    want = unmatched[order]
+    return insert(
+        merged, q.pos[order], q.cov[order], q.desc[order], want, max_insertions
+    )
+
+
 def transform(arena: LandmarkArena, T: jnp.ndarray) -> LandmarkArena:
     """Rigidly move all landmarks (and covariances) by T (4x4)."""
     R = T[:3, :3]

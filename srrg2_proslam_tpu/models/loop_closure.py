@@ -11,22 +11,25 @@ also queries ALL stored local maps in a single shot exactly like the
 reference's one-call-to-tree design.
 
 Flow (mirrors SURVEY.md §3.5):
-  1. on local-map split, the map's landmark descriptors + positions are
-     appended to the database with their map id;
+  1. on local-map split, the map's landmark descriptors + positions (plus
+     their arena rows, for closure-correspondence merging) are appended to
+     the database with their map id;
   2. a query matches the new map's descriptors against the whole database,
      gated by descriptor distance, Lowe ratio, and the minimum age
      difference (correspondence_finder_hbst.cpp:75-91);
-  3. per-reference-map vote counts select candidate maps
-     (segment-sum over map ids — the analog of the per-reference
-     correspondence extraction at :95-128);
-  4. each candidate is validated by a point-to-point SE3 GN alignment
+  3. per-reference-map vote counts select the TOP-K candidate maps, and for
+     EACH candidate the per-query best match *within that map* is extracted
+     (the analog of the reference's per-reference correspondence extraction
+     at correspondence_finder_hbst.cpp:95-128 — every qualifying reference
+     map gets its own correspondence set, not just the global-argmax one);
+  4. every candidate is validated by a point-to-point SE3 GN alignment
      (the "loop_aligner" MultiAligner3DQR with AlignerSliceProcessor3D and
      RobustifierClamp, kitti.conf:649-677) under the acceptance gates
      inliers >= 25, chi/inlier <= 2, inlier ratio >= 0.5
-     (kitti.conf:970-977).
+     (kitti.conf:970-977); all K validations run vmapped in one jit.
 
 The database layout ([D, 256] int8 + int32 metadata) is shardable along D
-across a device mesh (parallel/loops.py): each device matches its slice and
+across a device mesh (parallel/spmd.py): each device matches its slice and
 the top-candidate reduction is a psum — the multi-host extension of the
 same kernel.
 """
@@ -43,6 +46,12 @@ from ..ops import se3
 from ..ops.hamming import distance_matrix
 from ..ops.gn import gn_iterate, point3_system
 
+# per-map best-match encoding: key = distance * _ROW_SHIFT + db_row.  The
+# Hamming distance is integer <= 256 (sentinel 300 for infeasible), db rows
+# stay below 2^17, so keys fit comfortably in int32.
+_ROW_SHIFT = 1 << 17
+_DIST_SENTINEL = 300
+
 
 @cfg.register
 class LoopDetectorConfig:
@@ -51,7 +60,13 @@ class LoopDetectorConfig:
     maximum_descriptor_distance: float = 25.0
     minimum_age_difference: int = 10
     minimum_matches: int = 25
+    # within-map Lowe ratio: a query row's best match in a reference map
+    # must beat the second best in the SAME map by this ratio
     lowe_ratio: float = 0.8
+    # number of candidate reference maps validated per query (the reference
+    # validates every qualifying reference map,
+    # correspondence_finder_hbst.cpp:95-128; K is the fixed-shape budget)
+    max_candidates: int = 4
     # validation aligner (kitti.conf:649-677 "loop_aligner")
     aligner_iterations: int = 30
     chi_threshold: float = 3.0          # RobustifierClamp (kitti.conf:380-408)
@@ -65,11 +80,12 @@ class LoopDetectorConfig:
 class DescriptorDatabase(NamedTuple):
     """Fixed-capacity descriptor arena over ALL past local maps."""
 
-    desc: jnp.ndarray      # [D, 256] int8 signed bits
-    points: jnp.ndarray    # [D, 3] landmark position in its local-map frame
-    map_id: jnp.ndarray    # [D] int32 owning local map
-    valid: jnp.ndarray     # [D] bool
-    size: jnp.ndarray      # [] int32 next free row
+    desc: jnp.ndarray       # [D, 256] int8 signed bits
+    points: jnp.ndarray     # [D, 3] landmark position in its local-map frame
+    map_id: jnp.ndarray     # [D] int32 owning local map
+    arena_row: jnp.ndarray  # [D] int32 row in the owning map's landmark arena
+    valid: jnp.ndarray      # [D] bool
+    size: jnp.ndarray       # [] int32 next free row
 
     @property
     def capacity(self) -> int:
@@ -81,6 +97,7 @@ def empty_database(capacity: int) -> DescriptorDatabase:
         desc=jnp.full((capacity, 256), -1, jnp.int8),
         points=jnp.zeros((capacity, 3), jnp.float32),
         map_id=jnp.full((capacity,), -1, jnp.int32),
+        arena_row=jnp.zeros((capacity,), jnp.int32),
         valid=jnp.zeros((capacity,), bool),
         size=jnp.int32(0),
     )
@@ -97,9 +114,12 @@ def add_local_map(
     """Append one local map's landmarks (contiguous scatter at ``size``).
 
     Mirrors the reference's addPreviousQuery tree insertion
-    (correspondence_finder_hbst.cpp:110-128); rows beyond capacity drop.
+    (correspondence_finder_hbst.cpp:110-128).  Rows beyond capacity drop —
+    callers (models/slam.py) detect the would-overflow case beforehand and
+    evict old maps instead of silently losing recall.
     """
     D = db.capacity
+    M = desc.shape[0]
     rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
     dest = db.size + rank
     take = valid & (dest < D)
@@ -108,23 +128,30 @@ def add_local_map(
     def pad(a):
         return jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0)
 
+    rows = jnp.arange(M, dtype=jnp.int32)
     return DescriptorDatabase(
         desc=pad(db.desc).at[dest].set(desc)[:D],
         points=pad(db.points).at[dest].set(points)[:D],
         map_id=pad(db.map_id).at[dest].set(map_id)[:D],
+        arena_row=pad(db.arena_row).at[dest].set(rows)[:D],
         valid=pad(db.valid).at[dest].set(True)[:D],
         size=jnp.minimum(db.size + jnp.sum(take), D),
     )
 
 
 class LoopQueryResult(NamedTuple):
-    """Best candidate reference map + row-aligned correspondences into it."""
+    """Top-K candidate reference maps + per-candidate correspondences.
 
-    candidate_map: jnp.ndarray   # [] int32 best reference map id (-1 if none)
-    votes: jnp.ndarray           # [] int32 matches supporting the candidate
-    match_idx: jnp.ndarray       # [Q] int32 db row per query row (-1 invalid)
-    match_mask: jnp.ndarray      # [Q] bool — match belongs to candidate map
-    match_points: jnp.ndarray    # [Q, 3] matched landmark in candidate frame
+    All leading-K arrays are ordered by decreasing vote count; rows with
+    candidate_maps == -1 are inactive (below the minimum_matches gate).
+    """
+
+    candidate_maps: jnp.ndarray  # [K] int32 reference map ids (-1 inactive)
+    votes: jnp.ndarray           # [K] int32 global-best matches per candidate
+    match_idx: jnp.ndarray       # [K, Q] int32 db row per query row (-1)
+    match_row: jnp.ndarray       # [K, Q] int32 arena row in the ref map (-1)
+    match_mask: jnp.ndarray      # [K, Q] bool
+    match_points: jnp.ndarray    # [K, Q, 3] matched landmark in ref frame
 
 
 def query_terms(
@@ -135,25 +162,52 @@ def query_terms(
     config: LoopDetectorConfig,
     num_maps: int,
 ):
-    """Shardable inner kernel: per-query best match + per-map vote histogram.
+    """Shardable inner kernel: per-(query, map) best match + vote histogram.
 
-    Returns (best_dist, best_second, best_idx, votes[num_maps]).  When the
-    database is sharded along D, each shard runs this on its slice and the
-    combination is a min-reduction keyed on distance plus a vote psum
-    (see parallel/loops.py).
+    Per-reference extraction (the analog of
+    correspondence_finder_hbst.cpp:95-128): for EVERY reference map, each
+    query row's best and second-best match *within that map* are found by
+    two scatter-min passes over encoded (distance, db_row) keys; a row
+    votes for a map when its within-map best passes the distance gate and
+    the within-map Lowe ratio.  A query row can therefore contribute
+    correspondences to several overlapping maps — exactly the behavior the
+    reference gets from merged HBST matchables.
+
+    Returns (votes [num_maps], per_map_key [Q, num_maps], vote_ok
+    [Q, num_maps]).  When the database is sharded along D, each shard runs
+    this on its slice and the combination is an elementwise min over keys
+    plus a vote psum (see parallel/spmd.py).
     """
-    cost = distance_matrix(query_desc, db.desc).astype(jnp.float32)
+    Q = query_desc.shape[0]
+    cost = distance_matrix(query_desc, db.desc)  # [Q, D] int32
     age_ok = (query_map_id - db.map_id) >= config.minimum_age_difference
     feasible = query_valid[:, None] & db.valid[None, :] & age_ok[None, :]
-    masked = jnp.where(feasible, cost, jnp.float32(1e9))
-    best_idx = jnp.argmin(masked, axis=1)
-    d1 = jnp.min(masked, axis=1)
-    cols = jnp.arange(db.capacity)[None, :]
-    d2 = jnp.min(jnp.where(cols == best_idx[:, None], 1e9, masked), axis=1)
-    ok = (d1 <= config.maximum_descriptor_distance) & (d1 <= config.lowe_ratio * d2)
-    match_map = jnp.where(ok, db.map_id[best_idx], num_maps)
-    votes = jnp.zeros((num_maps + 1,), jnp.int32).at[match_map].add(1)[:num_maps]
-    return d1, best_idx, ok, votes
+    masked = jnp.where(feasible, cost, _DIST_SENTINEL)
+
+    # best db row per (query, map) as encoded int32 keys
+    rows = jnp.arange(db.capacity, dtype=jnp.int32)[None, :]
+    key = masked * _ROW_SHIFT + rows                       # [Q, D] int32
+    col = jnp.clip(db.map_id, 0, num_maps)                 # invalid rows -> sink
+    sentinel = jnp.iinfo(jnp.int32).max
+    full = jnp.full((Q, num_maps + 1), sentinel, jnp.int32)
+    per_map_key = full.at[:, col].min(key)[:, :num_maps]   # [Q, num_maps]
+
+    # second best within the same map (for the Lowe ratio)
+    is_best = key == jnp.concatenate(
+        [per_map_key, jnp.full((Q, 1), sentinel, jnp.int32)], axis=1
+    )[:, col]
+    key2 = jnp.where(is_best, sentinel, key)
+    second_key = full.at[:, col].min(key2)[:, :num_maps]
+
+    d1 = (per_map_key // _ROW_SHIFT).astype(jnp.float32)
+    d2 = jnp.minimum(second_key // _ROW_SHIFT, _DIST_SENTINEL).astype(jnp.float32)
+    vote_ok = (
+        query_valid[:, None]
+        & (d1 <= config.maximum_descriptor_distance)
+        & (d1 <= config.lowe_ratio * d2)
+    )
+    votes = jnp.sum(vote_ok, axis=0).astype(jnp.int32)
+    return votes, per_map_key, vote_ok
 
 
 @partial(jax.jit, static_argnames=("config", "num_maps"))
@@ -165,54 +219,50 @@ def query(
     config: LoopDetectorConfig,
     num_maps: int,
 ) -> LoopQueryResult:
-    """Match a local map against the whole database, vote per reference map."""
-    d1, best_idx, ok, votes = query_terms(
+    """Match a local map against the whole database; return top-K candidates."""
+    votes, per_map_key, vote_ok = query_terms(
         query_desc, query_valid, query_map_id, db, config, num_maps
     )
-    best_map = jnp.argmax(votes)
-    best_votes = votes[best_map]
-    found = best_votes >= config.minimum_matches
-    cand = jnp.where(found, best_map, -1).astype(jnp.int32)
-    mask = ok & (db.map_id[best_idx] == cand) & found
+    K = min(config.max_candidates, num_maps)
+    top_votes, top_maps = jax.lax.top_k(votes, K)
+    found = top_votes >= config.minimum_matches
+    cands = jnp.where(found, top_maps, -1).astype(jnp.int32)
+
+    keys = per_map_key[:, jnp.maximum(top_maps, 0)].T      # [K, Q]
+    idx = keys % _ROW_SHIFT
+    mask = found[:, None] & vote_ok[:, jnp.maximum(top_maps, 0)].T
     return LoopQueryResult(
-        candidate_map=cand,
-        votes=best_votes,
-        match_idx=jnp.where(mask, best_idx, -1).astype(jnp.int32),
+        candidate_maps=cands,
+        votes=top_votes,
+        match_idx=jnp.where(mask, idx, -1).astype(jnp.int32),
+        match_row=jnp.where(mask, db.arena_row[jnp.clip(idx, 0, db.capacity - 1)], -1),
         match_mask=mask,
-        match_points=db.points[jnp.maximum(best_idx, 0)],
+        match_points=db.points[jnp.clip(idx, 0, db.capacity - 1)],
     )
 
 
 class ClosureResult(NamedTuple):
-    T_query_in_ref: jnp.ndarray  # [4, 4] transform of query map in ref frame
+    """Per-candidate validation outputs (leading axis K when batched)."""
+
+    T_query_in_ref: jnp.ndarray  # [.., 4, 4] transform of query map in ref frame
     num_inliers: jnp.ndarray
     chi_per_inlier: jnp.ndarray
-    accepted: jnp.ndarray        # [] bool — all gates passed
+    inlier_ratio: jnp.ndarray    # inliers / correspondences
+    accepted: jnp.ndarray        # [..] bool — all gates passed
 
 
-@partial(jax.jit, static_argnames="config")
-def validate(
-    query_points: jnp.ndarray,   # [Q, 3] query-map frame
-    result: LoopQueryResult,
-    T_init: jnp.ndarray,         # [4, 4] initial guess (e.g. identity)
-    config: LoopDetectorConfig,
-) -> ClosureResult:
-    """Point-to-point SE3 validation of a closure candidate.
-
-    The estimate maps query-map points into the reference-map frame
-    (moving = query, fixed = reference), mirroring the loop_aligner slice
-    (AlignerSliceProcessor3D, RobustifierClamp chi=3).
-    """
+def _validate_one(query_points, match_points, match_mask, T_init,
+                  config: LoopDetectorConfig) -> ClosureResult:
     weights = jnp.ones((query_points.shape[0],), jnp.float32)
     system = lambda X: point3_system(
-        X, query_points, result.match_points, weights, result.match_mask,
+        X, query_points, match_points, weights, match_mask,
         chi_threshold=config.chi_threshold,
     )
     X, stats = gn_iterate(
         system, T_init, config.aligner_iterations,
         damping=config.damping, min_inliers=config.relocalize_min_inliers,
     )
-    n_corr = jnp.maximum(jnp.sum(result.match_mask), 1)
+    n_corr = jnp.maximum(jnp.sum(match_mask), 1)
     chi_per_inlier = stats.chi_total / jnp.maximum(stats.num_inliers, 1)
     ratio = stats.num_inliers / n_corr
     accepted = (
@@ -224,5 +274,40 @@ def validate(
         T_query_in_ref=X,
         num_inliers=stats.num_inliers,
         chi_per_inlier=chi_per_inlier,
+        inlier_ratio=ratio,
         accepted=accepted,
     )
+
+
+@partial(jax.jit, static_argnames="config")
+def validate(
+    query_points: jnp.ndarray,   # [Q, 3] query-map frame
+    match_points: jnp.ndarray,   # [Q, 3] ref-map frame
+    match_mask: jnp.ndarray,     # [Q] bool
+    T_init: jnp.ndarray,         # [4, 4] initial guess
+    config: LoopDetectorConfig,
+) -> ClosureResult:
+    """Point-to-point SE3 validation of one closure candidate.
+
+    The estimate maps query-map points into the reference-map frame
+    (moving = query, fixed = reference), mirroring the loop_aligner slice
+    (AlignerSliceProcessor3D, RobustifierClamp chi=3).
+    """
+    return _validate_one(query_points, match_points, match_mask, T_init, config)
+
+
+@partial(jax.jit, static_argnames="config")
+def validate_batch(
+    query_points: jnp.ndarray,   # [Q, 3] query-map frame
+    result: LoopQueryResult,     # K candidates
+    T_init: jnp.ndarray,         # [K, 4, 4] per-candidate initial guesses
+    config: LoopDetectorConfig,
+) -> ClosureResult:
+    """Validate ALL top-K candidates in one vmapped jit.
+
+    Mirrors the reference's loop over detected closures, each validated by
+    the loop_aligner (app_benchmark.cpp:136-161) — here a single batched GN.
+    """
+    return jax.vmap(
+        lambda mp, mm, Ti: _validate_one(query_points, mp, mm, Ti, config)
+    )(result.match_points, result.match_mask, T_init)

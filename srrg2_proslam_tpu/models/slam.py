@@ -79,11 +79,19 @@ class GraphSLAMConfig:
     pgo: pgo.PGOConfig = pgo.PGOConfig()
     local_ba: LocalBAConfig = LocalBAConfig()
     arena_capacity: int = 4096
+    # initial capacities; the orchestrator grows them (double-and-copy)
+    # instead of crashing when a long run exhausts them
     max_local_maps: int = 512
     max_edges: int = 1024
     database_capacity: int = 65536
+    # per-map descriptor budget for the closure database: only the most
+    # mature landmarks of a finalized map enter; keeps long runs within
+    # ``database_capacity`` before eviction has to kick in
+    max_db_descriptors_per_map: int = 1024
     enable_loop_closing: bool = True
     min_track_inliers: int = 6          # below this the tracker is Lost
+    # merged-landmark insertion budget when relocalizing into an old map
+    closure_merge_max_insertions: int = 512
 
 
 # tracker status machine (app_benchmark.cpp:123-178)
@@ -131,7 +139,12 @@ class GraphSLAM:
         # id — the store the relocalizer reloads from (the reference keeps
         # every local map alive in its graph; we snapshot to host RAM)
         self._map_arenas: dict = {}
-        self._maps_in_db: set = set()
+        # host mirror of the closure database: map id -> budget-selected
+        # (desc, points, rows) numpy arrays, insertion-ordered.  Enables
+        # eviction of the oldest maps (with a rebuild) when the device
+        # database would overflow — instead of silently dropping rows.
+        self._db_entries: "dict" = {}
+        self.num_db_evictions = 0
         self.num_relocalizations = 0
         # local-BA keyframe records of the ACTIVE map: (T_lm_robot np,
         # match_idx np, gn_meas np, mask np)
@@ -144,8 +157,10 @@ class GraphSLAM:
     def _make_new_map(self, T_world_new_lm: jnp.ndarray):
         """makeNewMap analog (app_benchmark.cpp:93-98,136-169)."""
         idx = self.num_maps
-        if idx >= self.config.max_local_maps:
-            raise RuntimeError("local-map capacity exhausted")
+        if idx >= self.graph.capacity:
+            # grow instead of crashing (capacity lifecycle)
+            self.graph = pgo.grow(self.graph, 2 * self.graph.capacity,
+                                  self.graph.edge_capacity)
         self.graph = pgo.add_pose(self.graph, idx, T_world_new_lm)
         if self.current_map >= 0:
             # odometry factor from the previously active map (which after a
@@ -166,68 +181,156 @@ class GraphSLAM:
         return idx
 
     def _add_graph_edge(self, i: int, j: int, Z, weight: float = 1.0):
-        """Bounds-checked factor insertion: a JAX out-of-range scatter would
-        silently drop the edge while counters kept advancing."""
-        if self.num_edges >= self.config.max_edges:
-            raise RuntimeError("pose-graph edge capacity exhausted")
+        """Bounds-checked factor insertion with double-and-copy growth."""
+        if self.num_edges >= self.graph.edge_capacity:
+            self.graph = pgo.grow(self.graph, self.graph.capacity,
+                                  2 * self.graph.edge_capacity)
         self.graph = pgo.add_edge(self.graph, self.num_edges, i, j, Z,
                                   weight=weight)
         self.num_edges += 1
 
-    def _finalize_current_map(self):
-        """Push the finished local map's landmarks into the closure database
-        and snapshot its arena for relocalization reloads."""
-        arena = self.tracker_state.arena
-        self._map_arenas[self.current_map] = jax.tree_util.tree_map(
-            np.asarray, arena
-        )
-        if not self.config.enable_loop_closing:
-            return
-        if self.current_map in self._maps_in_db:
-            return  # re-finalizing a reloaded map: descriptors already stored
-        self._maps_in_db.add(self.current_map)
-        self.db = loop_closure.add_local_map(
-            self.db, arena.desc, arena.pos, arena.valid, self.current_map
+    def _db_select_budget(self, arena_np) -> np.ndarray:
+        """Validity mask of the per-map descriptor budget: the most mature
+        (highest num_updates) landmarks win."""
+        budget = self.config.max_db_descriptors_per_map
+        valid = arena_np.valid
+        n_valid = int(valid.sum())
+        if n_valid <= budget:
+            return valid.copy()
+        key = np.where(valid, -arena_np.num_updates.astype(np.int64), 1 << 40)
+        keep_rows = np.argsort(key, kind="stable")[:budget]
+        mask = np.zeros_like(valid)
+        mask[keep_rows] = True
+        return mask
+
+    def _rebuild_db(self):
+        """Rebuild the device database from the host mirror (post-eviction)."""
+        cap = self.db.capacity
+        desc = np.full((cap, 256), -1, np.int8)
+        points = np.zeros((cap, 3), np.float32)
+        map_id = np.full((cap,), -1, np.int32)
+        arena_row = np.zeros((cap,), np.int32)
+        valid = np.zeros((cap,), bool)
+        offset = 0
+        for mid, entry in self._db_entries.items():
+            n = entry["desc"].shape[0]
+            sl = slice(offset, offset + n)
+            desc[sl] = entry["desc"]
+            points[sl] = entry["points"]
+            map_id[sl] = mid
+            arena_row[sl] = entry["rows"]
+            valid[sl] = True
+            offset += n
+        self.db = loop_closure.DescriptorDatabase(
+            desc=jnp.asarray(desc), points=jnp.asarray(points),
+            map_id=jnp.asarray(map_id), arena_row=jnp.asarray(arena_row),
+            valid=jnp.asarray(valid), size=jnp.int32(offset),
         )
 
+    def _finalize_current_map(self):
+        """Push the finished local map's landmarks into the closure database
+        and snapshot its arena for relocalization reloads.
+
+        Capacity lifecycle: each map contributes at most
+        ``max_db_descriptors_per_map`` rows; when the database would
+        overflow, the OLDEST maps are evicted (with a warning) and the
+        device database rebuilt — closures keep firing on long runs instead
+        of silently stopping.
+        """
+        arena = self.tracker_state.arena
+        arena_np = jax.tree_util.tree_map(np.asarray, arena)
+        self._map_arenas[self.current_map] = arena_np
+        if not self.config.enable_loop_closing:
+            return
+        if self.current_map in self._db_entries:
+            return  # re-finalizing a reloaded map: descriptors already stored
+        keep = self._db_select_budget(arena_np)
+        rows = np.nonzero(keep)[0].astype(np.int32)
+        self._db_entries[self.current_map] = dict(
+            desc=arena_np.desc[rows], points=arena_np.pos[rows], rows=rows,
+        )
+        total = sum(e["desc"].shape[0] for e in self._db_entries.values())
+        if total > self.db.capacity:
+            while total > self.db.capacity and len(self._db_entries) > 1:
+                oldest = next(iter(self._db_entries))
+                total -= self._db_entries.pop(oldest)["desc"].shape[0]
+                self.num_db_evictions += 1
+                print(f"[slam] loop database full: evicted map {oldest} "
+                      f"({self.num_db_evictions} evictions total)")
+            self._rebuild_db()
+        else:
+            # common path: jitted contiguous append of the selected rows
+            sel = jnp.asarray(keep)
+            self.db = loop_closure.add_local_map(
+                self.db, arena.desc, arena.pos, sel, self.current_map
+            )
+
     def _detect_and_close_loops(self):
-        """loopDetect/loopValidate/optimize (app_benchmark.cpp:136-161)."""
+        """loopDetect/loopValidate/optimize (app_benchmark.cpp:136-161).
+
+        Queries the database, validates ALL top-K candidate maps (one
+        vmapped jit), adds a closure factor for EVERY accepted candidate —
+        the reference extracts and validates closures for each qualifying
+        reference map (correspondence_finder_hbst.cpp:95-128) — and runs
+        global PGO once.  Returns the best accepted closure (for the
+        relocalizer) as (map id, closure slice, match_row, match_mask).
+        """
         if not self.config.enable_loop_closing or self.num_maps < 2:
             return None
         arena = self.tracker_state.arena
         result = loop_closure.query(
             arena.desc, arena.valid, self.current_map, self.db,
-            self.config.loop, self.config.max_local_maps,
+            self.config.loop, self.graph.capacity,
         )
-        cand = int(result.candidate_map)
-        if cand < 0:
+        cands = np.asarray(result.candidate_maps)
+        if not (cands >= 0).any():
             return None
-        # validate: initial guess = relative pose from current graph estimates
-        T_init = se3.inverse(self.graph.poses[cand]) @ self.graph.poses[self.current_map]
-        closure = loop_closure.validate(arena.pos, result, T_init, self.config.loop)
-        if not bool(closure.accepted):
+        # initial guesses: relative poses from current graph estimates
+        poses = self.graph.poses
+        T_init = jax.vmap(
+            lambda c: se3.inverse(poses[jnp.maximum(c, 0)])
+            @ poses[self.current_map]
+        )(result.candidate_maps)
+        closures = loop_closure.validate_batch(
+            arena.pos, result, T_init, self.config.loop
+        )
+        accepted = np.asarray(closures.accepted) & (cands >= 0)
+        if not accepted.any():
             return None
-        # add closure factor reference->query and run global PGO
-        self._add_graph_edge(cand, self.current_map, closure.T_query_in_ref)
-        self.num_closures += 1
+        best = None
+        best_inliers = -1
+        for k in np.nonzero(accepted)[0]:
+            cand = int(cands[k])
+            T_k = np.asarray(closures.T_query_in_ref[k])
+            self._add_graph_edge(cand, self.current_map, jnp.asarray(T_k))
+            self.num_closures += 1
+            n_inl = int(closures.num_inliers[k])
+            if n_inl > best_inliers:
+                best_inliers = n_inl
+                best = (
+                    cand,
+                    jax.tree_util.tree_map(lambda a, kk=k: a[kk], closures),
+                    result.match_row[k],
+                    result.match_mask[k],
+                )
         self.graph, _ = pgo.optimize(self.graph, self.config.pgo)
-        return cand, closure
+        return best
 
     def _try_relocalize(self, cand: int, closure) -> bool:
         """MultiRelocalizer3D analog: jump back into a nearby old local map.
 
         Accepts when the closure's implied displacement is small and the
-        alignment meets the (looser) relocalizer gates (kitti.conf:91-110).
+        alignment meets the relocalizer gates (kitti.conf:91-110), including
+        the inlier-ratio gate.
         """
         rc = self.config.relocalizer
         t = np.asarray(closure.T_query_in_ref[:3, 3])
-        if (
+        return bool(
             np.linalg.norm(t) <= rc.max_translation
             and int(closure.num_inliers) >= rc.relocalize_min_inliers
             and float(closure.chi_per_inlier) <= rc.relocalize_max_chi_inliers
-        ):
-            return True
-        return False
+            and float(closure.inlier_ratio) >= rc.relocalize_min_inliers_ratio
+        )
 
     # ------------------------------------------------------------------
     # per-frame processing
@@ -306,8 +409,11 @@ class GraphSLAM:
             gn_meas = np.asarray(meas_points[:, :3])   # (uL, vL, uR)
         else:
             gn_meas = np.asarray(meas_points)          # (u, v, d)
+        # BA keyframes are SENSOR poses: fold the sensor-in-robot extrinsic
+        T_rs = np.asarray(self.config.tracker.T_robot_sensor,
+                          np.float32).reshape(4, 4)
         self._ba_keyframes.append((
-            np.asarray(self.tracker_state.T_lm_robot),
+            np.asarray(self.tracker_state.T_lm_robot) @ T_rs,
             np.asarray(stats.match_idx),
             gn_meas,
             np.asarray(stats.match_mask),
@@ -361,13 +467,24 @@ class GraphSLAM:
         self._finalize_current_map()
         hit = self._detect_and_close_loops()
         if hit is not None:
-            cand, closure = hit
+            cand, closure, match_row, match_mask = hit
             if self._try_relocalize(cand, closure):
                 # reload the old local map instead of opening a new one
                 # (MultiRelocalizer3D re-enters old maps, kitti.conf:91-110;
-                # app_benchmark.cpp:150-161 reloads via closure geometry)
+                # app_benchmark.cpp:150-161 reloads via closure geometry) —
+                # and merge the finished query map's landmarks into it via
+                # the closure correspondences (the reference's
+                # tracker->setClosure merge flow)
                 arena_np = self._map_arenas[cand]
                 arena = jax.tree_util.tree_map(jnp.asarray, arena_np)
+                arena = lm.merge_closure(
+                    arena, self.tracker_state.arena,
+                    closure.T_query_in_ref, match_row, match_mask,
+                    self.config.closure_merge_max_insertions,
+                )
+                self._map_arenas[cand] = jax.tree_util.tree_map(
+                    np.asarray, arena
+                )
                 buf = self.tracker_state.meas_buf
                 if buf is not None:
                     # smoother buffers belong to the abandoned query map;

@@ -82,6 +82,30 @@ class TrackerConfig:
     min_num_inliers: int = 6          # kitti.conf:994
     chi_threshold: float = 25.0       # RobustifierSaturated (kitti.conf:130-141)
     minimum_disparity_px: float = 1.0
+    # sensor-in-robot extrinsic (row-major flattened 4x4), the analog of the
+    # reference's TF platform + WithSensor factor variants
+    # (aligner_slice_processor_projective.h:63-192, kitti_in_baselink.conf):
+    # the tracker estimates the ROBOT pose while measurements live in the
+    # sensor frame T_robot_sensor away.  Identity = camera==robot.
+    T_robot_sensor: tuple = (1.0, 0.0, 0.0, 0.0,
+                             0.0, 1.0, 0.0, 0.0,
+                             0.0, 0.0, 1.0, 0.0,
+                             0.0, 0.0, 0.0, 1.0)
+    # constant-velocity prior factor inside the aligner (the reference's
+    # AlignerSliceMotionModel3D on the trajectory_chunk slice,
+    # kitti.conf:747-772): information (1/variance) of the prediction in
+    # meters / radians.  0 disables the prior (prediction then only seeds
+    # the initial guess).
+    motion_prior_translation_info: float = 0.0
+    motion_prior_rotation_info: float = 0.0
+    # per-point inverse-depth weighting of the stereo slice: information
+    # scaled by (0.01 + disparity/mean_disparity), nearer points (larger
+    # disparity) constrain translation more
+    # (aligner_slice_processor_projective.cpp:107-112, kitti.conf:271).
+    # Off by default: with very few inliers the weighting amplifies
+    # individual near points (measured on the bundled highway pair);
+    # dataset configs opt in where it wins.
+    stereo_inverse_depth_weighting: bool = False
 
 
 class TrackerState(NamedTuple):
@@ -152,10 +176,16 @@ def track_step(
     movingInFixed estimate).
     """
     arena = state.arena
+    # sensor-in-robot extrinsic (WithSensor factor analog): the GN estimate
+    # X maps local-map points into the SENSOR frame; the robot pose is
+    # recovered through T_robot_sensor at the end
+    T_rs = jnp.asarray(config.T_robot_sensor, jnp.float32).reshape(4, 4)
+    T_sr = se3.inverse(T_rs)
     # ---- motion-model prediction (MotionModelConstantVelocity3D analog,
     # kitti.conf:747-772) ----------------------------------------------------
     T_pred = state.T_lm_robot @ se3.exp(state.velocity)
-    X = se3.inverse(T_pred)  # sensor == robot frame (extrinsic folded by caller)
+    X_pred = se3.inverse(T_pred @ T_rs)   # sensor-from-localmap prediction
+    X = X_pred
 
     meas_uv = meas_points[:, :2]
     if model == "stereo":
@@ -165,11 +195,43 @@ def track_step(
 
     weights_all = 1.0 + jnp.log1p(arena.num_updates.astype(jnp.float32))
 
+    # constant-velocity prior factor (AlignerSliceMotionModel3D analog):
+    # quadratic pull of the estimate toward the prediction, linearized with
+    # unit Jacobian in the left-perturbation parametrization
+    prior_w = jnp.concatenate([
+        jnp.full((3,), config.motion_prior_translation_info, jnp.float32),
+        jnp.full((3,), config.motion_prior_rotation_info, jnp.float32),
+    ])
+    use_prior = (config.motion_prior_translation_info > 0.0
+                 or config.motion_prior_rotation_info > 0.0)
+
+    def with_motion_prior(system):
+        if not use_prior:
+            return system
+
+        def wrapped(Xc):
+            H, b, stats = system(Xc)
+            r = se3.log(Xc @ se3.inverse(X_pred))
+            return H + jnp.diag(prior_w), b + prior_w * r, stats
+
+        return wrapped
+
     # ---- alignment: static re-association rounds ---------------------------
     # coarse-to-fine radius schedule over rounds: loosest stage while the
     # motion prediction is cold, tightest at the end — the fixed-shape
     # equivalent of the reference matcher's widen/shrink radius dynamics
     # (correspondence_finder_projective_base_impl.cpp:227-288)
+    # per-point inverse-depth (disparity) information weighting of the
+    # stereo slice (aligner_slice_processor_projective.cpp:107-112)
+    if model == "stereo" and config.stereo_inverse_depth_weighting:
+        disp = meas_points[:, 0] - meas_points[:, 2]
+        mean_disp = jnp.sum(jnp.where(meas_valid, disp, 0.0)) / jnp.maximum(
+            jnp.sum(meas_valid), 1
+        )
+        idw = 0.01 + disp / jnp.maximum(mean_disp, 1e-3)
+    else:
+        idw = jnp.ones((meas_points.shape[0],), jnp.float32)
+
     n_stages = len(config.matcher.radius_stages)
     matches = None
     stage = jnp.int32(0)
@@ -192,7 +254,7 @@ def track_step(
         )
         idx = jnp.maximum(matches.idx, 0)
         pts_moving = arena.pos[idx]
-        weights = weights_all[idx]
+        weights = weights_all[idx] * idw
 
         if model == "stereo":
             system = lambda Xc, pm=pts_moving, w=weights, mk=matches.mask: (
@@ -205,7 +267,7 @@ def track_step(
                     Xc, pm, gn_meas, w, mk, cam, config.chi_threshold)
             )
         X, stats = gn_iterate(
-            system, X, config.gn_iterations,
+            with_motion_prior(system), X, config.gn_iterations,
             damping=config.damping, min_inliers=config.min_num_inliers,
         )
 
@@ -326,7 +388,9 @@ def track_step(
     )
 
     # ---- pose & velocity update --------------------------------------------
-    T_lm_robot_new = se3.inverse(X)
+    # robot pose recovered through the sensor extrinsic:
+    # T_lm_robot = T_lm_sensor @ T_sensor_robot
+    T_lm_robot_new = se3.inverse(X) @ T_sr
     # velocity only refreshes when alignment had enough support; otherwise
     # keep the previous model (reference resets motion on track loss at the
     # matcher level, correspondence_finder_projective_base_impl.cpp:251-258)
@@ -349,4 +413,4 @@ def track_step(
         match_idx=matches.idx,
         match_mask=matches.mask,
     )
-    return new_state, out_stats, jnp.where(aligned, X, se3.inverse(T_pred))
+    return new_state, out_stats, jnp.where(aligned, X, X_pred)

@@ -48,10 +48,11 @@ class PGOConfig:
     solver: str = "dense"
     cg_iterations: int = 100
     cg_tolerance: float = 1e-6
-    # trust-region safeguard: the whole update is scaled so no pose moves by
-    # more than this twist norm per GN iteration.  Large graphs with
-    # accumulated loop error otherwise produce Newton steps (hundreds of
-    # meters) far outside the linearization's validity and diverge.
+    # trust-region safeguard: each pose's update is clamped to this twist
+    # norm per GN iteration.  Large graphs with accumulated loop error
+    # otherwise produce Newton steps (hundreds of meters) far outside the
+    # linearization's validity and diverge.  Clamping per pose (not globally)
+    # keeps one far-off pose from throttling progress everywhere else.
     max_step: float = 1.0
 
 
@@ -118,6 +119,27 @@ def factor_terms(poses: jnp.ndarray, graph: PoseGraph, chi_threshold: float):
     return e, A, w, chi
 
 
+def _edge_blocks(poses, graph: PoseGraph, chi_threshold: float):
+    """Per-edge weighted block AtA [E,6,6] and gradient terms Ate [E,6].
+
+    Shared assembly for the dense and CG solver paths (a robustifier change
+    lands in both automatically).
+    """
+    e, A, w, chi = factor_terms(poses, graph, chi_threshold)
+    AtA = jnp.einsum("eki,ekj,e->eij", A, A, w)
+    Ate = jnp.einsum("eki,ek,e->ei", A, e, w)
+    chi_total = jnp.sum(jnp.where(graph.edge_valid,
+                                  jnp.minimum(chi, chi_threshold), 0.0))
+    return AtA, Ate, chi_total
+
+
+def _prior_diag(graph: PoseGraph, anchor_weight: float):
+    """Gauge anchor on pose 0 + tiny prior on invalid poses (keeps H SPD)."""
+    N = graph.capacity
+    return jnp.where(jnp.arange(N) == 0, anchor_weight,
+                     jnp.where(graph.pose_valid, 0.0, 1.0))
+
+
 def normal_equations(poses: jnp.ndarray, graph: PoseGraph,
                      chi_threshold: float, anchor_weight: float):
     """Assemble the dense [6N, 6N] GN system by block scatter-add.
@@ -126,10 +148,8 @@ def normal_equations(poses: jnp.ndarray, graph: PoseGraph,
     plain sum over edges.
     """
     N = graph.capacity
-    e, A, w, chi = factor_terms(poses, graph, chi_threshold)
     # block contributions: H_ii += A^T A, H_jj += A^T A, H_ij -= A^T A
-    AtA = jnp.einsum("eki,ekj,e->eij", A, A, w)     # [E, 6, 6]
-    Ate = jnp.einsum("eki,ek,e->ei", A, e, w)       # [E, 6]
+    AtA, Ate, chi_total = _edge_blocks(poses, graph, chi_threshold)
 
     H = jnp.zeros((N, N, 6, 6), jnp.float32)
     H = H.at[graph.edge_i, graph.edge_i].add(AtA)
@@ -140,31 +160,11 @@ def normal_equations(poses: jnp.ndarray, graph: PoseGraph,
     b = b.at[graph.edge_j].add(Ate)
     b = b.at[graph.edge_i].add(-Ate)
 
-    # gauge anchor on pose 0 + tiny prior on invalid poses (keeps H SPD)
-    prior = jnp.where(jnp.arange(N) == 0, anchor_weight,
-                      jnp.where(graph.pose_valid, 0.0, 1.0))
+    prior = _prior_diag(graph, anchor_weight)
     H = H.at[jnp.arange(N), jnp.arange(N)].add(
         prior[:, None, None] * jnp.eye(6)
     )
-    chi_total = jnp.sum(jnp.where(graph.edge_valid,
-                                  jnp.minimum(chi, chi_threshold), 0.0))
     return H, b, chi_total
-
-
-def _edge_blocks(poses, graph: PoseGraph, chi_threshold: float):
-    """Per-edge weighted block AtA [E,6,6] and gradient terms Ate [E,6]."""
-    e, A, w, chi = factor_terms(poses, graph, chi_threshold)
-    AtA = jnp.einsum("eki,ekj,e->eij", A, A, w)
-    Ate = jnp.einsum("eki,ek,e->ei", A, e, w)
-    chi_total = jnp.sum(jnp.where(graph.edge_valid,
-                                  jnp.minimum(chi, chi_threshold), 0.0))
-    return AtA, Ate, chi_total
-
-
-def _prior_diag(graph: PoseGraph, anchor_weight: float):
-    N = graph.capacity
-    return jnp.where(jnp.arange(N) == 0, anchor_weight,
-                     jnp.where(graph.pose_valid, 0.0, 1.0))
 
 
 def _solve_cg(graph: PoseGraph, AtA, b, prior, damping: float,
@@ -182,31 +182,33 @@ def _solve_cg(graph: PoseGraph, AtA, b, prior, damping: float,
     def matvec(x):
         d = x[i_idx] - x[j_idx]
         t = jnp.einsum("eij,ej->ei", AtA, d)
-        y = jnp.zeros((N, 6)).at[i_idx].add(t).at[j_idx].add(-t)
+        y = jnp.zeros((N, 6), jnp.float32).at[i_idx].add(t).at[j_idx].add(-t)
         return y + (prior + damping)[:, None] * x
 
     # block-Jacobi preconditioner: per-pose 6x6 diagonal blocks
-    D = jnp.zeros((N, 6, 6)).at[i_idx].add(AtA).at[j_idx].add(AtA)
+    D = jnp.zeros((N, 6, 6), jnp.float32).at[i_idx].add(AtA).at[j_idx].add(AtA)
     D = D + (prior + damping)[:, None, None] * jnp.eye(6)
     D_inv = jnp.linalg.inv(D)
 
     def precond(r):
         return jnp.einsum("nij,nj->ni", D_inv, r)
 
-    x0 = jnp.zeros((N, 6))
+    x0 = jnp.zeros((N, 6), jnp.float32)
     r0 = b - matvec(x0)
     z0 = precond(r0)
     p0 = z0
     rz0 = jnp.sum(r0 * z0)
     b_norm2 = jnp.maximum(jnp.sum(b * b), 1e-30)
 
-    def body(_, carry):
+    def cond(carry):
+        _, r, _, _ = carry
+        return jnp.sum(r * r) > tolerance * tolerance * b_norm2
+
+    def body(carry):
         x, r, p, rz = carry
         Ap = matvec(p)
         denom = jnp.sum(p * Ap)
-        converged = jnp.sum(r * r) <= tolerance * tolerance * b_norm2
-        alpha = jnp.where(converged | (jnp.abs(denom) < 1e-30),
-                          0.0, rz / denom)
+        alpha = jnp.where(jnp.abs(denom) < 1e-30, 0.0, rz / denom)
         x = x + alpha * p
         r = r - alpha * Ap
         z = precond(r)
@@ -215,7 +217,14 @@ def _solve_cg(graph: PoseGraph, AtA, b, prior, damping: float,
         p = z + beta * p
         return x, r, p, rz_new
 
-    x, _, _, _ = jax.lax.fori_loop(0, iterations, body, (x0, r0, p0, rz0))
+    # bounded while_loop: exits as soon as the residual passes the tolerance
+    # instead of paying a full matvec + preconditioner apply per remaining
+    # iteration (iteration counter folded into the residual check is not
+    # needed — fori over while keeps the trip count <= iterations)
+    def outer(i, carry):
+        return jax.lax.cond(cond(carry), body, lambda c: c, carry)
+
+    x, _, _, _ = jax.lax.fori_loop(0, iterations, outer, (x0, r0, p0, rz0))
     return x
 
 
@@ -246,16 +255,20 @@ def optimize(graph: PoseGraph, config: PGOConfig):
                        config.cg_iterations, config.cg_tolerance)
         return dx, chi
 
+    if config.solver not in ("dense", "cg"):
+        raise ValueError(
+            f"PGOConfig.solver must be 'dense' or 'cg', got {config.solver!r}"
+        )
     step = cg_step if config.solver == "cg" else dense_step
 
     def body(_, carry):
         poses, _ = carry
         dx, chi = step(poses)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
-        # trust region: scale the whole step so the largest per-pose twist
-        # stays within max_step
-        worst = jnp.max(jnp.linalg.norm(dx, axis=-1))
-        dx = dx * jnp.minimum(1.0, config.max_step / jnp.maximum(worst, 1e-12))
+        # trust region: clamp each pose's twist to max_step individually so
+        # one far-off pose does not throttle the rest of the graph
+        norms = jnp.linalg.norm(dx, axis=-1, keepdims=True)
+        dx = dx * jnp.minimum(1.0, config.max_step / jnp.maximum(norms, 1e-12))
         new_poses = jax.vmap(lambda d, T: se3.exp(d) @ T)(dx, poses)
         return new_poses, chi
 
@@ -263,6 +276,30 @@ def optimize(graph: PoseGraph, config: PGOConfig):
         0, config.iterations, body, (graph.poses, jnp.float32(0))
     )
     return graph._replace(poses=poses), chi
+
+
+def grow(graph: PoseGraph, pose_capacity: int, edge_capacity: int) -> PoseGraph:
+    """Return a copy with enlarged capacities (double-and-copy semantics).
+
+    Host-side capacity lifecycle: long sequences outgrow the initial
+    fixed-capacity arrays, and the orchestrator grows them instead of
+    crashing (the reference's pointer-graph grows implicitly).
+    """
+    n_old, e_old = graph.capacity, graph.edge_capacity
+    n_new = max(pose_capacity, n_old)
+    e_new = max(edge_capacity, e_old)
+    if n_new == n_old and e_new == e_old:
+        return graph
+    out = empty_graph(n_new, e_new)
+    return out._replace(
+        poses=out.poses.at[:n_old].set(graph.poses),
+        pose_valid=out.pose_valid.at[:n_old].set(graph.pose_valid),
+        edge_i=out.edge_i.at[:e_old].set(graph.edge_i),
+        edge_j=out.edge_j.at[:e_old].set(graph.edge_j),
+        edge_Z=out.edge_Z.at[:e_old].set(graph.edge_Z),
+        edge_weight=out.edge_weight.at[:e_old].set(graph.edge_weight),
+        edge_valid=out.edge_valid.at[:e_old].set(graph.edge_valid),
+    )
 
 
 def add_pose(graph: PoseGraph, index, T: jnp.ndarray) -> PoseGraph:

@@ -161,6 +161,7 @@ def loop_query_spmd(mesh: Mesh, query_desc, query_valid, query_map_id,
         desc=jax.device_put(db.desc, row),
         points=jax.device_put(db.points, row),
         map_id=jax.device_put(db.map_id, row),
+        arena_row=jax.device_put(db.arena_row, row),
         valid=jax.device_put(db.valid, row),
         size=jax.device_put(db.size, rep),
     )

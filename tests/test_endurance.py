@@ -68,3 +68,44 @@ def test_square_loop_endurance(rng):
     assert np.mean(errs) < 2.5, np.mean(errs)
     e = tm.evaluate(traj, gt)
     assert e.mean_rotation_deg < 15.0
+
+
+@pytest.mark.slow
+def test_capacity_lifecycle_grows_and_evicts(rng):
+    """Tiny initial capacities on a long corridor: the pose graph must grow
+    (double-and-copy) instead of crashing, the loop database must evict its
+    oldest maps with closures still firing afterwards."""
+    n_pts = 600
+    pts_w = np.stack([
+        rng.uniform(-15, 15, n_pts),
+        rng.uniform(-5, 5, n_pts),
+        rng.uniform(-5, 45, n_pts),      # corridor along +z
+    ], 1).astype(np.float32)
+    desc = rng.choice(np.array([-1, 1], np.int8), size=(n_pts, 256))
+    config = GraphSLAMConfig(
+        splitting=SplittingConfig(maximum_translation_m=0.5),
+        loop=LoopDetectorConfig(minimum_age_difference=3, minimum_matches=25),
+        arena_capacity=1024,
+        max_local_maps=4,                # force growth: the run needs ~50
+        max_edges=4,
+        database_capacity=2048,          # force eviction
+        max_db_descriptors_per_map=128,
+        enable_loop_closing=True,
+    )
+    slam = GraphSLAM(CAM, config)
+    # out 14 m and back: ~28 maps out (0.5 m splits), closures on the return
+    zs = list(np.arange(0, 14.0, 0.25)) + list(np.arange(14.0, -0.01, -0.25))
+    for i, z in enumerate(zs):
+        T_wc = np.eye(4, dtype=np.float32)
+        T_wc[2, 3] = -z
+        p, d, ok = _stereo_measurements(pts_w, desc, T_wc)
+        slam.process(p, d, ok, timestamp=0.1 * i)
+
+    assert slam.num_maps > 20                  # grew far past max_local_maps=4
+    assert slam.graph.capacity >= slam.num_maps
+    assert slam.num_edges > 4                  # edge growth too
+    assert slam.num_db_evictions > 0           # database eviction kicked in
+    assert slam.num_closures >= 1              # closures still fire after it
+    traj = slam.trajectory()
+    assert len(traj) == len(zs)
+    assert np.linalg.norm(traj[-1][:3, 3]) < 1.0

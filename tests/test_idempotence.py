@@ -31,7 +31,10 @@ def test_same_frame_is_idempotent(estimator):
         drifts.append(float(jnp.linalg.norm(state.T_lm_robot[:3, 3])))
     # map must not grow after the initial population
     assert sizes[1:] == [sizes[0]] * 3, sizes
-    # pose must stay put (f32 envelope: <= 2 mm total after 3 re-feeds)
-    assert drifts[-1] < 2e-3, drifts
+    # pose must stay put: reference-parity bound 1e-5
+    # (test_trackers.cpp:252-256).  Requires the measurement model to be
+    # exactly consistent with triangulation (epipolar-mean v, frontend.py);
+    # with raw vL the gauge random-walks ~1 mm per re-feed.
+    assert drifts[-1] < 1e-5, drifts
     # velocity must not wind up
     assert float(jnp.linalg.norm(state.velocity)) < 1e-3

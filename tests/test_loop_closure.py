@@ -46,8 +46,12 @@ def test_query_finds_reference_map():
     res = loop_closure.query(
         jnp.asarray(q_desc), jnp.ones(100, bool), 5, db, cfg, num_maps=8
     )
-    assert int(res.candidate_map) == 0
-    assert int(res.votes) >= 80
+    assert int(res.candidate_maps[0]) == 0
+    assert int(res.votes[0]) >= 80
+    # correspondences carry the reference arena rows for closure merging
+    rows = np.asarray(res.match_row[0])
+    mask = np.asarray(res.match_mask[0])
+    assert (rows[mask] == np.arange(100)[mask]).mean() > 0.9
 
 
 def test_query_age_gate_blocks_recent_maps():
@@ -63,7 +67,39 @@ def test_query_age_gate_blocks_recent_maps():
     res = loop_closure.query(
         jnp.asarray(desc), jnp.ones(60, bool), 5, db, cfg, num_maps=8
     )
-    assert int(res.candidate_map) == -1
+    assert int(res.candidate_maps[0]) == -1
+
+
+def test_query_extracts_multiple_candidates():
+    """Two overlapping reference maps must BOTH be extracted (the reference
+    validates closures for every qualifying map,
+    correspondence_finder_hbst.cpp:95-128)."""
+    rng = np.random.RandomState(7)
+    cfg = loop_closure.LoopDetectorConfig(minimum_age_difference=1,
+                                          minimum_matches=25)
+    db = loop_closure.empty_database(512)
+    desc = _random_desc(rng, 120)
+    pts = rng.uniform(-5, 5, (120, 3)).astype(np.float32)
+    # map 0 stores rows 0..79, map 1 stores rows 40..119 (share 40..79)
+    db = loop_closure.add_local_map(
+        db, jnp.asarray(desc[:80]), jnp.asarray(pts[:80]),
+        jnp.ones(80, bool), 0
+    )
+    db = loop_closure.add_local_map(
+        db, jnp.asarray(desc[40:]), jnp.asarray(pts[40:]),
+        jnp.ones(80, bool), 1
+    )
+    q = _flip_bits(rng, desc, 4)
+    res = loop_closure.query(
+        jnp.asarray(q), jnp.ones(120, bool), 12, db, cfg, num_maps=8
+    )
+    cands = sorted(int(c) for c in np.asarray(res.candidate_maps)[:2])
+    assert cands == [0, 1]
+    # per-map extraction: each candidate yields its own correspondences
+    # (>= its row count at the distance gate), NOT only global-argmin rows
+    n0 = int(res.match_mask[list(np.asarray(res.candidate_maps)).index(0)].sum())
+    n1 = int(res.match_mask[list(np.asarray(res.candidate_maps)).index(1)].sum())
+    assert n0 >= 75 and n1 >= 75
 
 
 def test_validate_recovers_known_transform():
@@ -85,11 +121,13 @@ def test_validate_recovers_known_transform():
     res = loop_closure.query(
         jnp.asarray(desc), jnp.ones(120, bool), 11, db, cfg, num_maps=8
     )
-    assert int(res.candidate_map) == 0
+    assert int(res.candidate_maps[0]) == 0
     closure = loop_closure.validate(
-        jnp.asarray(pts_query), res, se3.identity(), cfg
+        jnp.asarray(pts_query), res.match_points[0], res.match_mask[0],
+        se3.identity(), cfg
     )
     assert bool(closure.accepted)
+    assert float(closure.inlier_ratio) > 0.9
     t_err, ang = se3.error_t_and_angle(
         closure.T_query_in_ref, jnp.asarray(T_q_in_ref.astype(np.float32))
     )
@@ -97,6 +135,30 @@ def test_validate_recovers_known_transform():
     # (test_loop_closing.cpp:128-135); noise-free synthetic is much tighter
     assert float(jnp.max(t_err)) < 1e-2
     assert float(ang) < 1e-3
+
+
+def test_validate_batch_matches_single():
+    rng = np.random.RandomState(5)
+    cfg = loop_closure.LoopDetectorConfig(minimum_age_difference=1,
+                                          minimum_matches=25)
+    db = loop_closure.empty_database(512)
+    desc = _random_desc(rng, 100)
+    pts = (rng.uniform(-5, 5, (100, 3)) + [0, 0, 8]).astype(np.float32)
+    db = loop_closure.add_local_map(
+        db, jnp.asarray(desc), jnp.asarray(pts), jnp.ones(100, bool), 0
+    )
+    res = loop_closure.query(
+        jnp.asarray(desc), jnp.ones(100, bool), 9, db, cfg, num_maps=8
+    )
+    T_init = jnp.broadcast_to(jnp.eye(4), (res.candidate_maps.shape[0], 4, 4))
+    batch = loop_closure.validate_batch(jnp.asarray(pts), res, T_init, cfg)
+    single = loop_closure.validate(
+        jnp.asarray(pts), res.match_points[0], res.match_mask[0],
+        se3.identity(), cfg
+    )
+    assert bool(batch.accepted[0]) == bool(single.accepted)
+    np.testing.assert_allclose(np.asarray(batch.T_query_in_ref[0]),
+                               np.asarray(single.T_query_in_ref), atol=1e-5)
 
 
 def test_validate_rejects_garbage_geometry():
@@ -114,7 +176,8 @@ def test_validate_rejects_garbage_geometry():
     # query points geometrically unrelated to the matched reference points
     pts_garbage = rng.uniform(-50, 50, (80, 3)).astype(np.float32)
     closure = loop_closure.validate(
-        jnp.asarray(pts_garbage), res, se3.identity(), cfg
+        jnp.asarray(pts_garbage), res.match_points[0], res.match_mask[0],
+        se3.identity(), cfg
     )
     assert not bool(closure.accepted)
 
@@ -136,7 +199,7 @@ def test_sharded_query_matches_single_device():
     res2 = parallel.loop_query_spmd(
         mesh, jnp.asarray(q), jnp.ones(64, bool), 5, db, cfg, 8
     )
-    assert int(res1.candidate_map) == int(res2.candidate_map)
-    assert int(res1.votes) == int(res2.votes)
+    assert int(res1.candidate_maps[0]) == int(res2.candidate_maps[0])
+    assert int(res1.votes[0]) == int(res2.votes[0])
     np.testing.assert_array_equal(np.asarray(res1.match_idx),
                                   np.asarray(res2.match_idx))
