@@ -105,16 +105,22 @@ def make_room(seed: int = 0, size_x: float = 32.0, size_z: float = 24.0,
     )
 
 
-@partial(jax.jit, static_argnames="cam")
-def render_view(cam: Camera, T_wc: jnp.ndarray, planes: PlaneSet):
+@partial(jax.jit, static_argnames=("cam", "supersample"))
+def render_view(cam: Camera, T_wc: jnp.ndarray, planes: PlaneSet,
+                supersample: int = 1):
     """Render one pinhole view. T_wc: [4,4] world->camera.
 
     Returns (image [H, W] float32 0..255, depth [H, W] float32 meters,
-    +inf where no surface is hit).
+    +inf where no surface is hit).  ``supersample`` renders at S x the
+    resolution and box-filters SxS blocks — antialiasing that keeps BRIEF
+    descriptors stable when surface texels shrink below a pixel at distance
+    (the failure mode that broke tracking through turns facing the far wall).
     """
-    H, W = cam.rows, cam.cols
-    u = (jnp.arange(W, dtype=jnp.float32) - cam.cx) / cam.fx
-    v = (jnp.arange(H, dtype=jnp.float32) - cam.cy) / cam.fy
+    S = supersample
+    H, W = cam.rows * S, cam.cols * S
+    # subpixel grid: pixel k at scale S covers base coordinate (k+0.5)/S-0.5
+    u = ((jnp.arange(W, dtype=jnp.float32) + 0.5) / S - 0.5 - cam.cx) / cam.fx
+    v = ((jnp.arange(H, dtype=jnp.float32) + 0.5) / S - 0.5 - cam.cy) / cam.fy
     # ray directions in camera frame, z = 1
     d = jnp.stack([
         jnp.broadcast_to(u[None, :], (H, W)),
@@ -137,9 +143,20 @@ def render_view(cam: Camera, T_wc: jnp.ndarray, planes: PlaneSet):
         ok = (t_star > cam.range_min) & (s1 >= 0) & (s1 <= ext1) \
             & (s2 >= 0) & (s2 <= ext2)
         T = tex.shape[0]
-        i1 = (s1 * ppm).astype(jnp.int32) % T
-        i2 = (s2 * ppm).astype(jnp.int32) % T
-        val = tex[i2, i1]
+        # bilinear texture sampling (wrapping): nearest-neighbor gather made
+        # descriptors flicker frame-to-frame once texels fell below a pixel
+        t1 = s1 * ppm - 0.5
+        t2 = s2 * ppm - 0.5
+        f1 = jnp.floor(t1)
+        f2 = jnp.floor(t2)
+        a1 = t1 - f1
+        a2 = t2 - f2
+        i1 = f1.astype(jnp.int32) % T
+        i2 = f2.astype(jnp.int32) % T
+        j1 = (i1 + 1) % T
+        j2 = (i2 + 1) % T
+        val = ((1 - a2) * ((1 - a1) * tex[i2, i1] + a1 * tex[i2, j1])
+               + a2 * ((1 - a1) * tex[j2, i1] + a1 * tex[j2, j1]))
         depth = jnp.where(ok, p[..., 2], jnp.inf)
         return val, depth
 
@@ -151,22 +168,27 @@ def render_view(cam: Camera, T_wc: jnp.ndarray, planes: PlaneSet):
     depth = jnp.min(depths, axis=0)
     img = jnp.take_along_axis(vals, best[None], axis=0)[0]
     img = jnp.where(jnp.isfinite(depth), img, 0.0)
+    if S > 1:
+        # box filter SxS -> base resolution; depth = min over the block
+        img = img.reshape(cam.rows, S, cam.cols, S).mean(axis=(1, 3))
+        depth = depth.reshape(cam.rows, S, cam.cols, S).min(axis=(1, 3))
     return img, depth
 
 
-@partial(jax.jit, static_argnames="cam")
-def render_stereo(cam: Camera, T_wc: jnp.ndarray, planes: PlaneSet):
+@partial(jax.jit, static_argnames=("cam", "supersample"))
+def render_stereo(cam: Camera, T_wc: jnp.ndarray, planes: PlaneSet,
+                  supersample: int = 2):
     """Render a rectified stereo pair + left depth from the LEFT pose."""
-    left, depth = render_view(cam, T_wc, planes)
+    left, depth = render_view(cam, T_wc, planes, supersample)
     T_shift = jnp.eye(4).at[0, 3].set(-cam.baseline_m)
-    right, _ = render_view(cam, T_shift @ T_wc, planes)
+    right, _ = render_view(cam, T_shift @ T_wc, planes, supersample)
     return left, right, depth
 
 
 def loop_trajectory(
     side_a: float = 20.0, side_b: float = 10.0,
     step_m: float = 0.35, turn_frames: int = 14,
-    extra_frames: int = 10,
+    extra_frames: int = 25,
 ) -> List[np.ndarray]:
     """Closed rectangular circuit with smooth 90-degree corner turns.
 

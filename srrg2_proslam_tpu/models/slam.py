@@ -348,8 +348,15 @@ class GraphSLAM:
             self.cam, config.tracker, self.model,
         )
         self.tracker_state = state
-        # single small host readback drives the status machine
-        num_inliers = int(stats.num_inliers)
+        # ONE batched host readback drives the status machine AND the
+        # splitting criterion (its scalars are computed on device): on a
+        # tunneled/remote TPU every sync costs a full round trip, so the
+        # scalars and the per-frame pose are fetched together
+        num_inliers, t_norm, angle, T_lm_robot_np = jax.device_get((
+            stats.num_inliers, stats.trans_in_map, stats.rot_in_map,
+            state.T_lm_robot,
+        ))
+        num_inliers = int(num_inliers)
         self.last_stats = stats
 
         if self._frames_in_current_map == 0:
@@ -382,20 +389,22 @@ class GraphSLAM:
             )
             self.status = TRACKING
         else:
-            # splitting criterion (viewpoint distance, kitti.conf:542-550)
-            t_norm = float(jnp.linalg.norm(state.T_lm_robot[:3, 3]))
-            w = se3.log_so3(state.T_lm_robot[:3, :3])
-            angle = float(jnp.linalg.norm(w))
+            # splitting criterion (viewpoint distance, kitti.conf:542-550);
+            # the scalars were computed on device and read back above
             if (
                 t_norm > config.splitting.maximum_translation_m
                 or angle > config.splitting.maximum_rotation_rad
             ):
                 self._split()
 
+        if self.tracker_state.T_lm_robot is state.T_lm_robot:
+            T_rec = T_lm_robot_np
+        else:  # a split/lost handler replaced the tracker state
+            T_rec = np.asarray(self.tracker_state.T_lm_robot)
         self.frames.append(FrameRecord(
             timestamp=timestamp,
             local_map_index=self.current_map,
-            T_lm_robot=np.asarray(self.tracker_state.T_lm_robot),
+            T_lm_robot=T_rec,
         ))
         self._frame_count += 1
         return stats

@@ -130,6 +130,10 @@ class TrackStats(NamedTuple):
     num_merges: jnp.ndarray
     num_additions: jnp.ndarray
     matcher_stage: jnp.ndarray
+    # splitting-criterion scalars computed on device so the host status
+    # machine needs ONE batched readback per frame (SURVEY §7.3 hard part 6)
+    trans_in_map: jnp.ndarray  # |t| of the post-update robot-in-local-map
+    rot_in_map: jnp.ndarray    # rotation angle of the same
     match_idx: jnp.ndarray    # [N] int32 landmark index per measurement (-1)
     match_mask: jnp.ndarray   # [N] bool
 
@@ -402,6 +406,7 @@ def track_step(
         velocity=jnp.where(aligned, vel_new, state.velocity),
         meas_buf=meas_buf,
     )
+    T_final = new_state.T_lm_robot
     out_stats = TrackStats(
         num_measurements=jnp.sum(meas_valid),
         num_matches=matches.count,
@@ -410,6 +415,8 @@ def track_step(
         num_merges=num_merges,
         num_additions=num_additions,
         matcher_stage=stage,
+        trans_in_map=jnp.linalg.norm(T_final[:3, 3]),
+        rot_in_map=jnp.linalg.norm(se3.log_so3(T_final[:3, :3])),
         match_idx=matches.idx,
         match_mask=matches.mask,
     )

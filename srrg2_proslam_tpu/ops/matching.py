@@ -68,10 +68,18 @@ class ProjectiveMatcherConfig:
     state machine: stage i uses (radius_stages[i], descriptor_stages[i]);
     the tightest stage whose matching ratio reaches
     ``minimum_matching_ratio`` wins.
+
+    The pairing follows the reference's widen-on-loss dynamics
+    (correspondence_finder_projective_base_impl.cpp:227-263): a WIDE search
+    radius pairs with a STRICT descriptor threshold (appearance must be
+    decisive when geometry is uninformative), a tight radius with a loose
+    one.  Pairing both ascending floods wide windows with aliased texture
+    matches — measured 15% match precision vs 99% flipped on the rendered
+    turn-onset frames — and breaks tracking through turns.
     """
 
-    radius_stages: tuple = (10.0, 25.0, 50.0)       # min..max search radius px
-    descriptor_stages: tuple = (25.0, 50.0, 75.0)   # min..max descriptor distance
+    radius_stages: tuple = (10.0, 25.0, 90.0)       # min..max search radius px
+    descriptor_stages: tuple = (75.0, 50.0, 25.0)   # paired LOOSE..STRICT
     lowe_ratio: float = 0.8
     minimum_matching_ratio: float = 0.1
     norm: str = "circle"  # "circle" (L2) | "square" (Linf) | "rhombus" (L1)

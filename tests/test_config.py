@@ -39,4 +39,4 @@ def test_defaults_match_reference_kitti_conf():
     assert FeatureExtractorConfig().detector_threshold == 15.0
     assert EpipolarMatcherConfig().maximum_disparity_px == 100.0
     assert BruteforceMatcherConfig().maximum_descriptor_distance == 50.0
-    assert ProjectiveMatcherConfig().descriptor_stages[-1] == 75.0
+    assert ProjectiveMatcherConfig().descriptor_stages[-1] == 25.0
