@@ -228,11 +228,24 @@ def iter_tum_rgbd(
 
 
 def iter_euroc_stereo(
-    sequence_dir: str, count: Optional[int] = None,
+    sequence_dir: str, count: Optional[int] = None, rectify: bool = True,
 ) -> Iterator[StereoFrame]:
-    """EuRoC ASL layout: mav0/cam0/data, mav0/cam1/data (ns timestamps)."""
+    """EuRoC ASL layout: mav0/cam0/data, mav0/cam1/data (ns timestamps).
+
+    When ``mav0/cam{0,1}/sensor.yaml`` are present (the standard ASL layout)
+    the raw radtan-distorted, non-coplanar images are undistorted and
+    rectified through io/rectify.py before being emitted — the capability
+    the reference gets from its converter pipeline
+    (apps/convert_stereo_to_srrg2.cpp + configurations/euroc.conf).  Use
+    ``euroc_rectified_camera`` for the matching pinhole model.
+    """
     cam0 = os.path.join(sequence_dir, "mav0", "cam0", "data")
     cam1 = os.path.join(sequence_dir, "mav0", "cam1", "data")
+    rect = None
+    if rectify:
+        from .rectify import find_euroc_rectification, remap
+
+        rect = find_euroc_rectification(sequence_dir)
     names0 = sorted(os.listdir(cam0))
     names1 = set(os.listdir(cam1))
     emitted = 0
@@ -240,14 +253,23 @@ def iter_euroc_stereo(
         if name not in names1:
             continue
         ts = float(os.path.splitext(name)[0]) * 1e-9
-        yield StereoFrame(
-            timestamp=ts,
-            left=load_gray(os.path.join(cam0, name)),
-            right=load_gray(os.path.join(cam1, name)),
-        )
+        left = load_gray(os.path.join(cam0, name))
+        right = load_gray(os.path.join(cam1, name))
+        if rect is not None:
+            left = remap(left, rect.map0)
+            right = remap(right, rect.map1)
+        yield StereoFrame(timestamp=ts, left=left, right=right)
         emitted += 1
         if count is not None and emitted >= count:
             return
+
+
+def euroc_rectified_camera(sequence_dir: str) -> Camera:
+    """The pinhole model matching ``iter_euroc_stereo(rectify=True)``."""
+    from .rectify import find_euroc_rectification
+
+    rect = find_euroc_rectification(sequence_dir)
+    return rect.camera if rect is not None else euroc_camera()
 
 
 def iter_malaga_stereo(

@@ -76,6 +76,12 @@ class FeatureExtractorConfig:
     # use the fused Pallas FAST kernel (ops/fast_pallas.py); bit-identical
     # to the XLA path, wins on large images / batched frontends
     use_pallas_fast: bool = False
+    # rotation-aware descriptors: intensity-centroid orientation + rotated
+    # BRIEF sampling (ORB-256 equivalent, the reference's default
+    # descriptor_type, kitti.conf "descriptor_type": "ORB-256").  Off by
+    # default: the planar KITTI/ICL trajectories carry no roll and the
+    # upright path matches the retuned thresholds; EuRoC's MAV does roll.
+    oriented: bool = False
 
 
 class Features(NamedTuple):
@@ -207,12 +213,37 @@ def detect_keypoints(image: jnp.ndarray, config: FeatureExtractorConfig):
     return uv, response, valid
 
 
+def _centroid_angles(image: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel intensity-centroid orientation map (ORB, Rosin moments).
+
+    theta[y, x] = atan2(m01, m10) of the radius-_PATCH_RADIUS disc centered
+    at (y, x).  Computed as two dense 31x31 convolutions (x*disc and y*disc
+    kernels) — MXU-shaped, one pass for every keypoint at once, instead of
+    the reference's per-keypoint scalar moment loops inside OpenCV ORB.
+    """
+    r = _PATCH_RADIUS
+    d = np.arange(-r, r + 1, dtype=np.float32)
+    yy, xx = np.meshgrid(d, d, indexing="ij")
+    disc = (yy * yy + xx * xx <= r * r).astype(np.float32)
+    kx = jnp.asarray(xx * disc)  # [31, 31]
+    ky = jnp.asarray(yy * disc)
+    img4 = image[None, None]  # NCHW
+    kern = jnp.stack([kx, ky])[:, None]  # [2, 1, 31, 31]
+    m = jax.lax.conv_general_dilated(
+        img4, kern, window_strides=(1, 1), padding="SAME"
+    )[0]  # [2, H, W]
+    return jnp.arctan2(m[1], m[0])
+
+
 def compute_descriptors(image: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
                         config: FeatureExtractorConfig) -> jnp.ndarray:
-    """Upright BRIEF-256 at integer keypoint locations.
+    """BRIEF-256 at integer keypoint locations (upright or rotation-aware).
 
-    Returns signed descriptors [N, 256] int8 in {-1, +1}; invalid keypoints
-    get all -1 (harmless: callers mask by validity).
+    With ``config.oriented`` the sampling pattern is rotated per keypoint by
+    the intensity-centroid angle and read with bilinear interpolation —
+    ORB-256 equivalence (the reference's default descriptor).  Returns
+    signed descriptors [N, 256] int8 in {-1, +1}; invalid keypoints get all
+    -1 (harmless: callers mask by validity).
     """
     H, W = image.shape
     smooth = _boxfilter(image, config.smoothing_window)
@@ -220,12 +251,37 @@ def compute_descriptors(image: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
     x = jnp.clip(uv[:, 0].astype(jnp.int32), BORDER, W - BORDER - 1)
     p_off = jnp.asarray(_BRIEF_PAIRS[:, 0])  # [256, 2] (dy, dx)
     q_off = jnp.asarray(_BRIEF_PAIRS[:, 1])
-    py = y[:, None] + p_off[None, :, 0]
-    px = x[:, None] + p_off[None, :, 1]
-    qy = y[:, None] + q_off[None, :, 0]
-    qx = x[:, None] + q_off[None, :, 1]
-    a = smooth[py, px]  # [N, 256] gathers
-    b = smooth[qy, qx]
+    if config.oriented:
+        theta = _centroid_angles(smooth)[y, x]  # [N]
+        c, s = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]
+
+        def rotated_sample(off):
+            dy = off[None, :, 0].astype(jnp.float32)
+            dx = off[None, :, 1].astype(jnp.float32)
+            ry = y[:, None] + dx * s + dy * c  # [N, 256] float
+            rx = x[:, None] + dx * c - dy * s
+            ry = jnp.clip(ry, 0.0, H - 1.001)
+            rx = jnp.clip(rx, 0.0, W - 1.001)
+            y0 = ry.astype(jnp.int32)
+            x0 = rx.astype(jnp.int32)
+            fy = ry - y0
+            fx = rx - x0
+            v00 = smooth[y0, x0]
+            v01 = smooth[y0, x0 + 1]
+            v10 = smooth[y0 + 1, x0]
+            v11 = smooth[y0 + 1, x0 + 1]
+            return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+                    + fy * ((1 - fx) * v10 + fx * v11))
+
+        a = rotated_sample(p_off)
+        b = rotated_sample(q_off)
+    else:
+        py = y[:, None] + p_off[None, :, 0]
+        px = x[:, None] + p_off[None, :, 1]
+        qy = y[:, None] + q_off[None, :, 0]
+        qx = x[:, None] + q_off[None, :, 1]
+        a = smooth[py, px]  # [N, 256] gathers
+        b = smooth[qy, qx]
     bits = a < b
     signed = jnp.where(bits, jnp.int8(1), jnp.int8(-1))
     return jnp.where(valid[:, None], signed, jnp.int8(-1))
