@@ -33,6 +33,7 @@ from srrg2_proslam_tpu.models.frontend import (
 )
 from srrg2_proslam_tpu.models.slam import GraphSLAM, GraphSLAMConfig
 from srrg2_proslam_tpu.utils import config as cfg
+from srrg2_proslam_tpu.utils import profiling
 
 # reference CI regression thresholds (benchmarks/benchmark_*.cpp:17-21);
 # "synthetic" is the rendered closed-loop sequence (io/synthetic.py) gated
@@ -93,7 +94,15 @@ def main():
     ap.add_argument("--open-loop", action="store_true",
                     help="disable loop closing (CI benchmark mode, "
                          "benchmark_kitti.cpp:50-53)")
+    ap.add_argument("--profile", action="store_true",
+                    help="per-stage scoped timers (Profiler::enable_logging "
+                         "analog, benchmark_kitti.cpp:27)")
+    ap.add_argument("--trace-dir", default=None,
+                    help="capture a jax.profiler device trace into this dir")
     args = ap.parse_args()
+
+    if args.profile:
+        profiling.enable()
 
     rgbd = args.dataset in ("tum", "icl")
     slam_config = (cfg.load(args.config) if args.config
@@ -122,12 +131,13 @@ def main():
     def handle(fr):
         nonlocal compute_time, n
         t0 = time.perf_counter()
-        if rgbd:
-            meas = adapt_rgbd(jnp.asarray(fr.intensity), jnp.asarray(fr.depth),
-                              adaptor)
-        else:
-            meas = adapt_stereo(jnp.asarray(fr.left), jnp.asarray(fr.right),
-                                adaptor)
+        with profiling.profile_time("adaptor"):
+            if rgbd:
+                meas = adapt_rgbd(jnp.asarray(fr.intensity),
+                                  jnp.asarray(fr.depth), adaptor)
+            else:
+                meas = adapt_stereo(jnp.asarray(fr.left),
+                                    jnp.asarray(fr.right), adaptor)
         slam.process(meas.points, meas.desc, meas.valid, fr.timestamp)
         compute_time += time.perf_counter() - t0
         if fr.gt_pose is not None:
@@ -138,14 +148,22 @@ def main():
             print(f"frame {n}: maps={slam.num_maps} closures="
                   f"{slam.num_closures} t={T[:3, 3].round(2)}")
 
-    handle(first)
-    for fr in frames:
-        handle(fr)
+    if args.trace_dir:
+        with profiling.device_trace(args.trace_dir):
+            handle(first)
+            for fr in frames:
+                handle(fr)
+    else:
+        handle(first)
+        for fr in frames:
+            handle(fr)
 
     # mean_frame_hz definition: msgs / summed compute time
     # (app_benchmark.cpp:350-366)
     hz = n / max(compute_time, 1e-9)
     print(f"processed {n} frames, mean_frame_hz={hz:.2f}")
+    if args.profile:
+        print(profiling.report())
 
     est = slam.trajectory()
     if args.output:

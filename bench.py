@@ -1,13 +1,24 @@
-"""Benchmark: steady-state tracker frames/s on the bundled KITTI frames.
+"""Benchmark: FULL GraphSLAM.process loop on a rendered closed-loop sequence.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric definition mirrors the reference's mean_frame_hz (processed messages
-divided by summed per-message compute time, reference
-srrg2_proslam/apps/app_benchmark.cpp:350-366).  The baseline divisor is the
-reference CI target regime (an unspecified CPU; the original ProSLAM paper
-reports well-above-real-time on desktop CPUs, so 100 Hz is used as the
-reference-class anchor until a measured C++ number exists).
+Metric definition mirrors the reference's mean_frame_hz — processed messages
+divided by summed per-message compute time over the WHOLE pipeline: adaptor,
+tracker, splits, loop closure, relocalization and PGO all inside the timed
+loop (reference srrg2_proslam/apps/app_benchmark.cpp:350-366 measures its
+full compute() the same way).  Frames are the rendered closed-loop stereo
+sequence (io/synthetic.py) pre-rendered to device so the loop measures SLAM
+compute, not synthesis.  Frame pipelining overlaps the next frame's frontend
+with the current frame's status readback (VERDICT r1 item 10).
+
+The baseline divisor is the reference CI target regime (an unspecified CPU;
+the original ProSLAM paper reports well-above-real-time on desktop CPUs, so
+100 Hz is used as the reference-class anchor until a measured C++ number
+exists).
+
+Per-stage breakdown (utils/profiling scoped timers), tracker-only
+steady-state rate (the round-1 metric, for continuity), serial-vs-pipelined
+comparison and a FLOP-based utilization estimate go to stderr.
 """
 import json
 import os
@@ -21,46 +32,177 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the tracker/split/loop/PGO jits take minutes to
+# compile cold on the tunneled TPU; cached reruns start in seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from srrg2_proslam_tpu.io import datasets
+from srrg2_proslam_tpu.io import synthetic as syn
 from srrg2_proslam_tpu.models.frontend import StereoAdaptorConfig, adapt_stereo
-from srrg2_proslam_tpu.models.tracker import TrackerConfig, initial_state, track_step
+from srrg2_proslam_tpu.models.loop_closure import LoopDetectorConfig
+from srrg2_proslam_tpu.models.slam import (
+    GraphSLAM, GraphSLAMConfig, SplittingConfig,
+)
+from srrg2_proslam_tpu.models.tracker import (
+    TrackerConfig, initial_state, track_step,
+)
+from srrg2_proslam_tpu.utils import profiling
 
 REFERENCE_FRAME_HZ = 100.0  # reference-class CPU anchor (see module docstring)
 
+_err = lambda *a: print(*a, file=sys.stderr, flush=True)
 
-def main():
-    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "test_data")
+
+def _render_sequence(n_frames):
+    """Pre-render the closed-loop stereo sequence; images stay ON DEVICE."""
+    cam = syn.synthetic_camera()
+    planes = syn.make_room(size_x=22.0, size_z=32.0)
+    poses = syn.loop_trajectory()[:n_frames]
+    images = []
+    for T in poses:
+        left, right, _ = syn.render_stereo(cam, jnp.asarray(T), planes)
+        images.append((left, right))
+    jax.block_until_ready(images[-1])
+    return cam, images
+
+
+def _slam_config():
+    return GraphSLAMConfig(
+        tracker=TrackerConfig(),
+        splitting=SplittingConfig(maximum_translation_m=5.0,
+                                  maximum_rotation_rad=0.35),
+        loop=LoopDetectorConfig(minimum_age_difference=5),
+        arena_capacity=4096,
+        database_capacity=16384,
+        max_db_descriptors_per_map=512,
+    )
+
+
+def run_full_loop(cam, images, acfg, pipelined):
+    """One full SLAM pass; returns (elapsed_s, slam)."""
+    slam = GraphSLAM(cam, _slam_config(), model="stereo")
+    t0 = time.perf_counter()
+    if pipelined:
+        meas = adapt_stereo(images[0][0], images[0][1], acfg)
+        for i in range(len(images)):
+            slam.process_dispatch(meas.points, meas.desc, meas.valid, 0.1 * i)
+            if i + 1 < len(images):
+                # frontend t+1 executes while the host waits in finalize
+                meas = adapt_stereo(images[i + 1][0], images[i + 1][1], acfg)
+            slam.process_finalize()
+    else:
+        for i, (left, right) in enumerate(images):
+            meas = adapt_stereo(left, right, acfg)
+            slam.process(meas.points, meas.desc, meas.valid, 0.1 * i)
+    jax.block_until_ready(slam.tracker_state.T_lm_robot)
+    return time.perf_counter() - t0, slam
+
+
+def tracker_only_hz(acfg, tcfg):
+    """Round-1 continuity metric: steady-state adaptor+tracker on bundled
+    KITTI frames (device-resident inputs, no host logic)."""
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "test_data")
     frames = list(datasets.iter_bundled_kitti(root, "city"))
     cam = datasets.kitti_camera(*frames[0].left.shape)
-    acfg = StereoAdaptorConfig()
-    tcfg = TrackerConfig()
-
     images = [(jnp.asarray(f.left), jnp.asarray(f.right)) for f in frames]
-
-    # warmup: compile both stages and populate the map
     state = initial_state(4096)
-    for left, right in images:
+    for left, right in images:  # warmup + map population
         meas = adapt_stereo(left, right, acfg)
         state, stats, X = track_step(
-            state, meas.points, meas.desc, meas.valid, cam, tcfg, "stereo"
-        )
+            state, meas.points, meas.desc, meas.valid, cam, tcfg, "stereo")
     jax.block_until_ready(state.T_lm_robot)
-
-    # timed steady-state loop over the sequence (device-resident inputs)
-    n_reps = 8
+    n_reps, count = 8, 0
     t0 = time.perf_counter()
-    count = 0
     for _ in range(n_reps):
         for left, right in images:
             meas = adapt_stereo(left, right, acfg)
             state, stats, X = track_step(
-                state, meas.points, meas.desc, meas.valid, cam, tcfg, "stereo"
-            )
+                state, meas.points, meas.desc, meas.valid, cam, tcfg,
+                "stereo")
             count += 1
     jax.block_until_ready(state.T_lm_robot)
-    dt = time.perf_counter() - t0
+    return count / (time.perf_counter() - t0)
 
-    hz = count / dt
+
+def stage_device_times(cam, images, acfg, tcfg):
+    """Blocked per-call device times of the two per-frame jits + FLOPs."""
+    left, right = images[0]
+    meas = adapt_stereo(left, right, acfg)
+    state = initial_state(4096)
+    state, _, _ = track_step(state, meas.points, meas.desc, meas.valid,
+                             cam, tcfg, "stereo")
+    jax.block_until_ready(state.T_lm_robot)
+
+    def timed(fn, n=30):
+        fn()
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
+    t_adapt = timed(lambda: adapt_stereo(left, right, acfg))
+    t_track = timed(lambda: track_step(
+        state, meas.points, meas.desc, meas.valid, cam, tcfg, "stereo"))
+
+    flops = None
+    try:
+        lowered = jax.jit(
+            lambda s, p, d, v: track_step(s, p, d, v, cam, tcfg, "stereo")
+        ).lower(state, meas.points, meas.desc, meas.valid)
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(cost.get("flops", 0.0))
+    except Exception as e:  # cost analysis is best-effort per backend
+        _err(f"cost_analysis unavailable: {e}")
+    return t_adapt, t_track, flops
+
+
+def main():
+    acfg = StereoAdaptorConfig()
+    tcfg = TrackerConfig()
+    n_frames = int(os.environ.get("BENCH_FRAMES", "253"))
+
+    _err(f"rendering {n_frames} closed-loop frames on device ...")
+    cam, images = _render_sequence(n_frames)
+
+    # warmup pass compiles every stage (tracker, splits, loop query, PGO)
+    run_full_loop(cam, images, acfg, pipelined=False)
+
+    profiling.enable()
+    profiling.reset()
+    dt_serial, slam_s = run_full_loop(cam, images, acfg, pipelined=False)
+    report = profiling.report()
+    profiling.enable(False)
+    dt_pipe, slam_p = run_full_loop(cam, images, acfg, pipelined=True)
+
+    hz_serial = n_frames / dt_serial
+    hz_pipe = n_frames / dt_pipe
+    _err(f"full-loop serial:    {hz_serial:8.1f} frames/s "
+         f"({slam_s.num_maps} maps, {slam_s.num_closures} closures)")
+    _err(f"full-loop pipelined: {hz_pipe:8.1f} frames/s "
+         f"({slam_p.num_maps} maps, {slam_p.num_closures} closures, "
+         f"{hz_pipe / hz_serial:.2f}x)")
+    _err(report)
+
+    t_adapt, t_track, flops = stage_device_times(cam, images, acfg, tcfg)
+    _err(f"stage device time: adaptor {t_adapt * 1e3:.2f} ms, "
+         f"tracker {t_track * 1e3:.2f} ms per frame")
+    if flops:
+        achieved = flops / t_track
+        _err(f"tracker step: {flops / 1e9:.2f} GFLOP -> "
+             f"{achieved / 1e12:.2f} TFLOP/s achieved "
+             f"({achieved / 394e12 * 100:.1f}% of v5e int8 peak, "
+             f"{achieved / 197e12 * 100:.1f}% of bf16 peak)")
+    hz_tracker = tracker_only_hz(acfg, tcfg)
+    _err(f"tracker-only steady-state (round-1 metric): {hz_tracker:.1f} "
+         f"frames/s on bundled KITTI")
+
+    hz = max(hz_serial, hz_pipe)
     print(json.dumps({
         "metric": "mean_frame_hz",
         "value": round(hz, 2),

@@ -46,9 +46,9 @@ class PlaneSet(NamedTuple):
 
 
 def synthetic_camera(rows: int = 480, cols: int = 640,
-                     baseline_m: float = 0.12) -> Camera:
-    fx = 450.0
-    return Camera(fx=fx, fy=450.0, cx=cols / 2.0, cy=rows / 2.0,
+                     baseline_m: float = 0.12,
+                     fx: float = 450.0) -> Camera:
+    return Camera(fx=fx, fy=fx, cx=cols / 2.0, cy=rows / 2.0,
                   rows=rows, cols=cols, baseline_px=fx * baseline_m,
                   range_min=0.1, range_max=120.0)
 
@@ -239,13 +239,14 @@ def iter_rendered_loop(
     side_b: float = 10.0,
     step_m: float = 0.35,
     turn_frames: int = 14,
+    fx: float = 450.0,
 ) -> Iterator[StereoFrame]:
     """Rendered closed-loop stereo sequence with GT poses (camera in world).
 
     The room is sized to enclose the circuit; trajectory start is at the
     world origin heading +z around the rectangle.
     """
-    cam = synthetic_camera(rows, cols)
+    cam = synthetic_camera(rows, cols, fx=fx)
     planes = make_room(seed=seed, size_x=side_b + 12.0, size_z=side_a + 12.0)
     poses = loop_trajectory(side_a, side_b, step_m, turn_frames)
     if count is not None:

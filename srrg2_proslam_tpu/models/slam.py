@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import config as cfg
+from ..utils.profiling import profile_time
 from ..ops import ba as ba_ops
 from ..ops import se3
 from ..ops import pgo
@@ -135,6 +136,7 @@ class GraphSLAM:
         self._frame_count = 0
         self._frames_in_current_map = 0
         self.last_stats = None
+        self._pending = None  # dispatched-but-unfinalized frame (pipelining)
         # host-side snapshots of finalized local-map arenas, indexed by map
         # id — the store the relocalizer reloads from (the reference keeps
         # every local map alive in its graph; we snapshot to host RAM)
@@ -313,7 +315,8 @@ class GraphSLAM:
                     result.match_row[k],
                     result.match_mask[k],
                 )
-        self.graph, _ = pgo.optimize(self.graph, self.config.pgo)
+        with profile_time("pgo"):
+            self.graph, _ = pgo.optimize(self.graph, self.config.pgo)
         return best
 
     def _try_relocalize(self, cand: int, closure) -> bool:
@@ -338,26 +341,51 @@ class GraphSLAM:
 
     def process(self, meas_points, meas_desc, meas_valid, timestamp: float = 0.0):
         """One SLAM step on adapted measurements. Returns the frame stats."""
-        config = self.config
+        stats = self.process_dispatch(meas_points, meas_desc, meas_valid,
+                                      timestamp)
+        self.process_finalize()
+        return stats
+
+    def process_dispatch(self, meas_points, meas_desc, meas_valid,
+                         timestamp: float = 0.0):
+        """Dispatch the frame's device work without blocking on the result.
+
+        Frame pipelining (SURVEY.md §7.3 hard part 4): the caller may enqueue
+        the NEXT frame's adaptor right after this returns — it executes on
+        device while the host sits in ``process_finalize``'s readback for
+        THIS frame — overlapping frontend t+1 with the tracker/status round
+        trip of frame t.  ``process`` == dispatch + finalize.
+        """
+        assert self._pending is None, "process_dispatch without finalize"
         if self.num_maps == 0:
             self._make_new_map(se3.identity())
             self.status = INITIALIZING
 
-        state, stats, X = track_step(
-            self.tracker_state, meas_points, meas_desc, meas_valid,
-            self.cam, config.tracker, self.model,
-        )
+        with profile_time("tracker_dispatch"):
+            state, stats, X = track_step(
+                self.tracker_state, meas_points, meas_desc, meas_valid,
+                self.cam, self.config.tracker, self.model,
+            )
         self.tracker_state = state
+        self.last_stats = stats
+        self._pending = (state, stats, meas_points, timestamp)
+        return stats
+
+    def process_finalize(self):
+        """Block on the dispatched frame's stats and run the host logic."""
+        state, stats, meas_points, timestamp = self._pending
+        self._pending = None
+        config = self.config
         # ONE batched host readback drives the status machine AND the
         # splitting criterion (its scalars are computed on device): on a
         # tunneled/remote TPU every sync costs a full round trip, so the
         # scalars and the per-frame pose are fetched together
-        num_inliers, t_norm, angle, T_lm_robot_np = jax.device_get((
-            stats.num_inliers, stats.trans_in_map, stats.rot_in_map,
-            state.T_lm_robot,
-        ))
+        with profile_time("status_readback"):
+            num_inliers, t_norm, angle, T_lm_robot_np = jax.device_get((
+                stats.num_inliers, stats.trans_in_map, stats.rot_in_map,
+                state.T_lm_robot,
+            ))
         num_inliers = int(num_inliers)
-        self.last_stats = stats
 
         if self._frames_in_current_map == 0:
             # the first frame of a fresh local map only populates the arena
@@ -395,7 +423,8 @@ class GraphSLAM:
                 t_norm > config.splitting.maximum_translation_m
                 or angle > config.splitting.maximum_rotation_rad
             ):
-                self._split()
+                with profile_time("split"):
+                    self._split()
 
         if self.tracker_state.T_lm_robot is state.T_lm_robot:
             T_rec = T_lm_robot_np
@@ -469,12 +498,15 @@ class GraphSLAM:
         """Close the current local map; loop-close; relocalize or open a new map."""
         if self.config.local_ba.enabled:
             # polish the finished map before it enters the closure database
-            self._run_local_ba()
+            with profile_time("local_ba"):
+                self._run_local_ba()
         T_world_lm = self.graph.poses[self.current_map]
         T_lm_robot = self.tracker_state.T_lm_robot
         T_world_robot = T_world_lm @ T_lm_robot
-        self._finalize_current_map()
-        hit = self._detect_and_close_loops()
+        with profile_time("db_insert"):
+            self._finalize_current_map()
+        with profile_time("loop_detect"):
+            hit = self._detect_and_close_loops()
         if hit is not None:
             cand, closure, match_row, match_mask = hit
             if self._try_relocalize(cand, closure):

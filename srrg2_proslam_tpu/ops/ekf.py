@@ -116,30 +116,49 @@ def _single_update(p_w, P_w, z, valid, T_ws, cam: Camera, model: str,
     # reference adds world_in_sensor_covariance which the pipeline leaves 0)
     p_s = R_ws @ p_w + T_ws[:3, 3]
     P_s = R_ws @ P_w @ R_ws.T
-    h, H = model_fn(p_s, cam)
     # Sequential scalar Kalman updates: with diagonal measurement noise the
     # batch update factors into ``meas_dim`` rank-1 updates with scalar
     # innovation variances — no matrix solve/inverse at all.  This matters:
     # the stereo innovation matrix has near-duplicate rows (vL == vR) and
     # XLA's batched f32 solve/inv loses enough digits on it to diverge the
     # filter; the scalar form is unconditionally stable and pure VPU math.
+    #
+    # The update is ITERATED (Gauss-Newton IEKF, 2 relinearizations): a
+    # single EKF sweep linearized at a far-off prediction writes that
+    # linearization error into the posterior covariance's correlation
+    # structure, and the NEXT frame's (correct) update then confidently
+    # drags the state away from the truth — observed as a zero-noise
+    # divergence in the statistical tier tests.  Relinearizing about the
+    # updated state before committing the covariance removes it; both
+    # sweeps are the same pure VPU math, vmapped over the arena.
     r_noise = config.measurement_noise_px2
-    innov0 = z - h
 
-    def row_update(j, carry):
-        dx, P = carry
-        Hj = H[j]                      # [3]
-        y = innov0[j] - Hj @ dx        # residual of the linearized system
-        PH = P @ Hj                    # [3]
-        s = r_noise + Hj @ PH
-        k = PH / s                     # [3] scalar-gain Kalman column
-        dx = dx + k * y
-        P = P - jnp.outer(k, PH)
-        return dx, P
+    def sweep(x_lin):
+        """One sequential-scalar sweep of the iterated update.
 
-    dx, P_s_new = jax.lax.fori_loop(
-        0, meas_dim, row_update, (jnp.zeros(3), P_s)
-    )
+        Linearize h at ``x_lin``; the effective innovation re-centers the
+        measurement on the prediction point p_s (IEKF form:
+        z - h(x_lin) - H (p_s - x_lin)).
+        """
+        h, H = model_fn(x_lin, cam)
+        innov0 = z - h - H @ (p_s - x_lin)
+
+        def row_update(j, carry):
+            dx, P = carry
+            Hj = H[j]                      # [3]
+            y = innov0[j] - Hj @ dx        # residual of the linearized system
+            PH = P @ Hj                    # [3]
+            s = r_noise + Hj @ PH
+            k = PH / s                     # [3] scalar-gain Kalman column
+            dx = dx + k * y
+            P = P - jnp.outer(k, PH)
+            return dx, P
+
+        return jax.lax.fori_loop(0, meas_dim, row_update,
+                                 (jnp.zeros(3), P_s))
+
+    dx1, _ = sweep(p_s)
+    dx, P_s_new = sweep(p_s + dx1)
     p_s_new = p_s + dx
     # gates (landmark_estimator_ekf_impl.cpp): behind-camera, covariance
     # norm, geometric jump
