@@ -109,6 +109,20 @@ def main():
                    else GraphSLAMConfig())
     if args.open_loop:
         slam_config = cfg.replace(slam_config, enable_loop_closing=False)
+    if args.dataset == "euroc" and args.sequence is not None:
+        # camera-info-driven initialization (reference
+        # apps/app_benchmark.cpp:56-74): the cam-in-body extrinsic of the
+        # RECTIFIED camera feeds the tracker's sensor offset
+        from srrg2_proslam_tpu.io.rectify import find_euroc_rectification
+
+        rect = find_euroc_rectification(args.sequence)
+        if rect is not None and rect.T_B_rect is not None:
+            tracker = cfg.replace(
+                slam_config.tracker,
+                T_robot_sensor=tuple(
+                    np.asarray(rect.T_B_rect, np.float32).ravel().tolist()),
+            )
+            slam_config = cfg.replace(slam_config, tracker=tracker)
 
     frames = iter_frames(args)
     first = next(iter(frames))
@@ -117,8 +131,16 @@ def main():
         adaptor = (cfg.load(args.adaptor_config) if args.adaptor_config
                    else DepthAdaptorConfig())
     else:
-        cam = CAMERAS[args.dataset](*first.left.shape) \
-            if args.dataset == "kitti" else CAMERAS[args.dataset]()
+        if args.dataset == "kitti":
+            cam = datasets.kitti_camera(*first.left.shape)
+        elif args.dataset == "euroc" and args.sequence is not None:
+            # iter_euroc_stereo rectifies by default: pair its frames with
+            # the matching RECTIFIED pinhole model, not the raw cam0
+            # intrinsics (round-2 advisor finding: ~9 px principal-point
+            # error otherwise)
+            cam = datasets.euroc_rectified_camera(args.sequence)
+        else:
+            cam = CAMERAS[args.dataset]()
         adaptor = (cfg.load(args.adaptor_config) if args.adaptor_config
                    else StereoAdaptorConfig())
 

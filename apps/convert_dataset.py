@@ -68,9 +68,43 @@ def main():
     }
     if gts and len(gts) == len(stamps):
         out["gt_poses"] = np.stack(gts).astype(np.float32)
+    # record the camera model the cached pixels are in: the EuRoC reader
+    # rectifies by default, so the cache must carry the RECTIFIED pinhole
+    # (and the body-from-rectified-camera extrinsic), not raw cam0
+    # intrinsics (round-2 advisor finding)
+    if args.dataset == "euroc":
+        from srrg2_proslam_tpu.io.rectify import find_euroc_rectification
+
+        rect = find_euroc_rectification(args.sequence)
+        if rect is not None:
+            c = rect.camera
+            out["camera"] = np.asarray(
+                [c.fx, c.fy, c.cx, c.cy, c.rows, c.cols, c.baseline_px,
+                 c.range_min, c.range_max], np.float64)
+            if rect.T_B_rect is not None:
+                out["T_robot_sensor"] = np.asarray(rect.T_B_rect, np.float32)
     np.savez(args.output, **out)
     print(f"wrote {len(stamps)} frames to {args.output} "
           f"({os.path.getsize(args.output) / 1e6:.1f} MB)")
+
+
+def packed_camera(path):
+    """Camera model recorded in a converted cache (None when absent).
+
+    Returns (Camera, T_robot_sensor or None)."""
+    from srrg2_proslam_tpu.ops.pinhole import Camera
+
+    data = np.load(path, mmap_mode="r")
+    if "camera" not in data:
+        return None, None
+    c = np.asarray(data["camera"], np.float64)
+    cam = Camera(fx=float(c[0]), fy=float(c[1]), cx=float(c[2]),
+                 cy=float(c[3]), rows=int(c[4]), cols=int(c[5]),
+                 baseline_px=float(c[6]), range_min=float(c[7]),
+                 range_max=float(c[8]))
+    T = (np.asarray(data["T_robot_sensor"], np.float32)
+         if "T_robot_sensor" in data else None)
+    return cam, T
 
 
 def iter_packed(path):

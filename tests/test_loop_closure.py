@@ -203,3 +203,54 @@ def test_sharded_query_matches_single_device():
     assert int(res1.votes[0]) == int(res2.votes[0])
     np.testing.assert_array_equal(np.asarray(res1.match_idx),
                                   np.asarray(res2.match_idx))
+
+
+def test_tiled_query_matches_dense():
+    """query_tile > 0 must be bit-identical to the dense [Q, D] path."""
+    rng = np.random.RandomState(7)
+    db = loop_closure.empty_database(2048)
+    for mid in range(4):
+        n = 150 + 17 * mid
+        db = loop_closure.add_local_map(
+            db, jnp.asarray(_random_desc(rng, n)),
+            jnp.asarray(rng.uniform(-5, 5, (n, 3)).astype(np.float32)),
+            jnp.ones(n, bool), mid,
+        )
+    q_desc = jnp.asarray(_random_desc(rng, 128))
+    q_valid = jnp.asarray(rng.rand(128) > 0.1)
+    dense_cfg = loop_closure.LoopDetectorConfig(
+        minimum_age_difference=1, minimum_matches=1,
+        maximum_descriptor_distance=140.0, lowe_ratio=1.0)
+    tiled_cfg = loop_closure.LoopDetectorConfig(
+        minimum_age_difference=1, minimum_matches=1,
+        maximum_descriptor_distance=140.0, lowe_ratio=1.0, query_tile=256)
+    a = loop_closure.query(q_desc, q_valid, 6, db, dense_cfg, num_maps=8)
+    b = loop_closure.query(q_desc, q_valid, 6, db, tiled_cfg, num_maps=8)
+    for la, lb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_tiled_query_large_capacity_constant_memory():
+    """The tiled query runs at database_capacity=262144 ([Q, tile]
+    intermediates only — the dense cost matrix would be [Q, 262144] int32)
+    and still finds the right reference map."""
+    rng = np.random.RandomState(8)
+    cfg = loop_closure.LoopDetectorConfig(
+        minimum_age_difference=1, minimum_matches=25, query_tile=4096)
+    db = loop_closure.empty_database(262144)
+    desc0 = _random_desc(rng, 100)
+    db = loop_closure.add_local_map(
+        db, jnp.asarray(desc0),
+        jnp.asarray(rng.uniform(-5, 5, (100, 3)).astype(np.float32)),
+        jnp.ones(100, bool), 0,
+    )
+    db = loop_closure.add_local_map(
+        db, jnp.asarray(_random_desc(rng, 80)),
+        jnp.zeros((80, 3), jnp.float32), jnp.ones(80, bool), 1,
+    )
+    q_desc = _flip_bits(rng, desc0, 5)
+    res = loop_closure.query(
+        jnp.asarray(q_desc), jnp.ones(100, bool), 5, db, cfg, num_maps=8
+    )
+    assert int(res.candidate_maps[0]) == 0
+    assert int(res.votes[0]) >= 80
