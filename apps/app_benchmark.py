@@ -46,6 +46,7 @@ REGRESSION_GATES = {
     "euroc": dict(max_mean_t=0.50, max_std_t=0.50),
     "malaga": dict(max_mean_t=25.0, max_std_t=10.0),
     "synthetic": dict(max_mean_t=0.30, max_std_t=1.00),
+    "boss": dict(max_mean_t=0.30, max_std_t=1.00),  # converted KITTI-class
 }
 
 CAMERAS = {
@@ -75,6 +76,10 @@ def iter_frames(args):
         yield from datasets.iter_euroc_stereo(args.sequence, count=args.count)
     elif args.dataset == "malaga":
         yield from datasets.iter_malaga_stereo(args.sequence, count=args.count)
+    elif args.dataset == "boss":
+        from srrg2_proslam_tpu.io import boss
+
+        yield from boss.iter_boss_stereo(args.sequence, count=args.count)
     else:
         raise SystemExit(f"unsupported dataset {args.dataset}")
 
@@ -82,7 +87,7 @@ def iter_frames(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="kitti",
-                    choices=sorted(CAMERAS) + ["synthetic"])
+                    choices=sorted(CAMERAS) + ["synthetic", "boss"])
     ap.add_argument("--sequence", default=None, help="dataset folder")
     ap.add_argument("--gt", default=None, help="ground-truth pose file")
     ap.add_argument("--count", type=int, default=None)
@@ -91,6 +96,11 @@ def main():
     ap.add_argument("--adaptor-config", default=None,
                     help="adaptor config JSON (see configurations/)")
     ap.add_argument("--output", default=None, help="trajectory file prefix")
+    ap.add_argument("--chunked", type=int, default=0, metavar="B",
+                    help="process the sequence B frames per device program "
+                         "(models/chunk.py: adaptor, tracker and status "
+                         "machine on device — the production mode on "
+                         "high-latency links)")
     ap.add_argument("--open-loop", action="store_true",
                     help="disable loop closing (CI benchmark mode, "
                          "benchmark_kitti.cpp:50-53)")
@@ -131,7 +141,11 @@ def main():
         adaptor = (cfg.load(args.adaptor_config) if args.adaptor_config
                    else DepthAdaptorConfig())
     else:
-        if args.dataset == "kitti":
+        if args.dataset == "synthetic":
+            from srrg2_proslam_tpu.io import synthetic as syn
+
+            cam = syn.synthetic_camera(*first.left.shape)
+        elif args.dataset == "kitti":
             cam = datasets.kitti_camera(*first.left.shape)
         elif args.dataset == "euroc" and args.sequence is not None:
             # iter_euroc_stereo rectifies by default: pair its frames with
@@ -139,12 +153,44 @@ def main():
             # intrinsics (round-2 advisor finding: ~9 px principal-point
             # error otherwise)
             cam = datasets.euroc_rectified_camera(args.sequence)
+        elif args.dataset == "boss":
+            # camera-info-driven initialization from the log itself
+            # (InitializerStereoCamera3D analog, app_benchmark.cpp:56-74)
+            from srrg2_proslam_tpu.io import boss
+
+            cam = boss.boss_camera(args.sequence)
+            if cam is None:
+                raise SystemExit("no CameraInfoMessage in the BOSS log")
+            if cam.rows == 0:
+                cam = cam._replace(rows=first.left.shape[0],
+                                   cols=first.left.shape[1])
         else:
             cam = CAMERAS[args.dataset]()
         adaptor = (cfg.load(args.adaptor_config) if args.adaptor_config
                    else StereoAdaptorConfig())
 
+    if args.chunked:
+        slam_config = cfg.replace(slam_config, chunk_size=args.chunked)
     slam = GraphSLAM(cam, slam_config, model="rgbd" if rgbd else "stereo")
+
+    if args.chunked:
+        # collect the sequence and run it B frames per device program
+        all_frames = [first] + list(frames)
+        if rgbd:
+            a = np.stack([fr.intensity for fr in all_frames])
+            b = np.stack([fr.depth for fr in all_frames])
+        else:
+            a = np.stack([fr.left for fr in all_frames])
+            b = np.stack([fr.right for fr in all_frames])
+        ts = [fr.timestamp for fr in all_frames]
+        gt_poses = [fr.gt_pose for fr in all_frames
+                    if fr.gt_pose is not None]
+        t0 = time.perf_counter()
+        slam.process_sequence(a, b, ts, adaptor)
+        compute_time = time.perf_counter() - t0
+        n = len(all_frames)
+        _finish(args, slam, n, compute_time, gt_poses)
+        return
 
     gt_poses = []
     compute_time = 0.0
@@ -180,6 +226,10 @@ def main():
         for fr in frames:
             handle(fr)
 
+    _finish(args, slam, n, compute_time, gt_poses)
+
+
+def _finish(args, slam, n, compute_time, gt_poses):
     # mean_frame_hz definition: msgs / summed compute time
     # (app_benchmark.cpp:350-366)
     hz = n / max(compute_time, 1e-9)

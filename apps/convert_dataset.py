@@ -32,9 +32,35 @@ def main():
     ap.add_argument("--gt", default=None)
     ap.add_argument("--count", type=int, default=None)
     ap.add_argument("--output", required=True)
+    ap.add_argument("--format", default="npz", choices=["npz", "boss"],
+                    help="npz = packed frame cache; boss = reference-style "
+                         "BOSS messages.json log (stereo only)")
     args = ap.parse_args()
 
     rgbd = args.dataset in ("tum", "icl")
+    if args.format == "boss":
+        if rgbd:
+            raise SystemExit("BOSS export currently supports stereo only")
+        from srrg2_proslam_tpu.io import boss
+
+        if args.dataset == "kitti":
+            frames = datasets.iter_kitti_odometry(args.sequence, args.gt,
+                                                  count=args.count)
+            # probe the first frame for the image size
+            frames = list(frames)
+            cam = datasets.kitti_camera(*frames[0].left.shape)
+        elif args.dataset == "euroc":
+            frames = list(datasets.iter_euroc_stereo(args.sequence,
+                                                     count=args.count))
+            cam = datasets.euroc_rectified_camera(args.sequence)
+        else:
+            frames = list(datasets.iter_malaga_stereo(args.sequence,
+                                                      count=args.count))
+            cam = datasets.malaga_camera()
+        n = boss.write_boss_stereo(args.output, frames, cam)
+        print(f"wrote {n} BOSS message triplets to {args.output}")
+        return
+
     if args.dataset == "kitti":
         frames = datasets.iter_kitti_odometry(args.sequence, args.gt,
                                               count=args.count)

@@ -71,7 +71,7 @@ def _render_sequence(n_frames):
     return cam, images
 
 
-def _slam_config(speculation_depth):
+def _slam_config(speculation_depth=0, chunk_size=0):
     return GraphSLAMConfig(
         tracker=TrackerConfig(),
         splitting=SplittingConfig(maximum_translation_m=5.0,
@@ -81,17 +81,31 @@ def _slam_config(speculation_depth):
         database_capacity=16384,
         max_db_descriptors_per_map=512,
         speculation_depth=speculation_depth,
+        chunk_size=chunk_size,
     )
 
 
 def run_full_loop(cam, images, acfg, depth):
-    """One full SLAM pass; returns (elapsed_s, slam)."""
-    slam = GraphSLAM(cam, _slam_config(depth), model="stereo")
+    """One full SLAM pass (per-frame pipeline); returns (elapsed_s, slam)."""
+    slam = GraphSLAM(cam, _slam_config(speculation_depth=depth),
+                     model="stereo")
     t0 = time.perf_counter()
     for i, (left, right) in enumerate(images):
         meas = adapt_stereo(left, right, acfg)
         slam.process(meas.points, meas.desc, meas.valid, 0.1 * i)
     slam.flush()
+    jax.block_until_ready(slam.tracker_state.T_lm_robot)
+    return time.perf_counter() - t0, slam
+
+
+def run_chunked(cam, left_all, right_all, acfg, chunk_size):
+    """One full SLAM pass in chunked mode (models/chunk.py)."""
+    slam = GraphSLAM(cam, _slam_config(chunk_size=chunk_size),
+                     model="stereo")
+    n = int(left_all.shape[0])
+    t0 = time.perf_counter()
+    slam.process_sequence(left_all, right_all,
+                          [0.1 * i for i in range(n)], acfg)
     jax.block_until_ready(slam.tracker_state.T_lm_robot)
     return time.perf_counter() - t0, slam
 
@@ -165,30 +179,42 @@ def main():
     tcfg = TrackerConfig()
     n_frames = int(os.environ.get("BENCH_FRAMES", "253"))
     depth = int(os.environ.get("BENCH_SPECULATION_DEPTH", "12"))
+    chunk = int(os.environ.get("BENCH_CHUNK_SIZE", "16"))
 
     _err(f"rendering {n_frames} closed-loop frames on device ...")
     cam, images = _render_sequence(n_frames)
+    left_all = jnp.stack([im[0] for im in images])
+    right_all = jnp.stack([im[1] for im in images])
 
-    # warmup pass compiles every stage (tracker, splits, loop query, PGO)
-    run_full_loop(cam, images, acfg, depth)
+    # warmup pass compiles every stage (chunk op, splits, loop query, PGO)
+    # and absorbs the tunnel's expensive first-readback transition
+    run_chunked(cam, left_all, right_all, acfg, chunk)
 
-    # headline: production (speculative) configuration, median of 3 runs
+    # headline: production (chunked) configuration, median of 3 runs
     times = []
     for _ in range(3):
-        dt, slam_p = run_full_loop(cam, images, acfg, depth)
+        dt, slam_c = run_chunked(cam, left_all, right_all, acfg, chunk)
         times.append(dt)
-    hz_spec = n_frames / float(np.median(times))
+    hz_chunk = n_frames / float(np.median(times))
 
     profiling.enable()
     profiling.reset()
-    dt_sync, slam_s = run_full_loop(cam, images, acfg, 0)
+    run_chunked(cam, left_all, right_all, acfg, chunk)
     report = profiling.report()
     profiling.enable(False)
+
+    # diagnostics: per-frame pipelines (speculative + synchronous)
+    run_full_loop(cam, images, acfg, depth)  # warmup per-frame jits
+    dt_spec, slam_p = run_full_loop(cam, images, acfg, depth)
+    hz_spec = n_frames / dt_spec
+    dt_sync, slam_s = run_full_loop(cam, images, acfg, 0)
     hz_sync = n_frames / dt_sync
 
+    _err(f"full-loop chunked (B={chunk}):      {hz_chunk:8.1f} frames/s "
+         f"({slam_c.num_maps} maps, {slam_c.num_closures} closures, "
+         f"{slam_c.num_relocalizations} relocs)")
     _err(f"full-loop speculative (depth {depth}): {hz_spec:8.1f} frames/s "
-         f"({slam_p.num_maps} maps, {slam_p.num_closures} closures, "
-         f"{slam_p.num_relocalizations} relocs)")
+         f"({slam_p.num_maps} maps, {slam_p.num_closures} closures)")
     _err(f"full-loop synchronous (depth 0):  {hz_sync:8.1f} frames/s "
          f"({slam_s.num_maps} maps, {slam_s.num_closures} closures)")
     _err(report)
@@ -208,9 +234,9 @@ def main():
 
     print(json.dumps({
         "metric": "mean_frame_hz",
-        "value": round(hz_spec, 2),
+        "value": round(hz_chunk, 2),
         "unit": "frames/s",
-        "vs_baseline": round(hz_spec / REFERENCE_FRAME_HZ, 3),
+        "vs_baseline": round(hz_chunk / REFERENCE_FRAME_HZ, 3),
     }))
 
 

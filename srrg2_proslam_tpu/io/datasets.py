@@ -54,6 +54,13 @@ def load_gray(path: str) -> np.ndarray:
     return np.ascontiguousarray(arr, dtype=np.float32)
 
 
+def save_gray(path: str, image) -> None:
+    """Write a float32/uint8 grayscale [H, W] image (0..255) to disk."""
+    arr = np.asarray(image)
+    arr = np.clip(arr, 0, 255).astype(np.uint8)
+    Image.fromarray(arr, mode="L").save(path)
+
+
 def load_depth(path: str) -> np.ndarray:
     """Load a 16-bit depth image as float32 raw units [H, W].
 

@@ -185,49 +185,94 @@ def render_stereo(cam: Camera, T_wc: jnp.ndarray, planes: PlaneSet,
     return left, right, depth
 
 
+def _T_wc_from(pos, yaw):
+    """World->camera from planar position + heading (y = camera down)."""
+    fwd = np.array([np.sin(yaw), 0.0, np.cos(yaw)])
+    right = np.array([np.cos(yaw), 0.0, -np.sin(yaw)])
+    down = np.array([0.0, 1.0, 0.0])
+    R_cw = np.stack([right, down, fwd], axis=1)  # camera axes in world
+    T_cw = np.eye(4, dtype=np.float32)
+    T_cw[:3, :3] = R_cw
+    T_cw[:3, 3] = pos
+    return np.linalg.inv(T_cw).astype(np.float32)
+
+
 def loop_trajectory(
     side_a: float = 20.0, side_b: float = 10.0,
     step_m: float = 0.35, turn_frames: int = 14,
-    extra_frames: int = 25,
+    extra_frames: int = 25, laps: int = 1,
 ) -> List[np.ndarray]:
     """Closed rectangular circuit with smooth 90-degree corner turns.
 
     Returns world->camera transforms (left camera).  The camera starts at
     the world origin heading +z, walks the rectangle (side_a along z,
-    side_b along x), and after the 4th corner revisits the start viewpoint
-    plus ``extra_frames`` of overlap for loop closure.  World y is the
+    side_b along x) ``laps`` times, and finally revisits the start viewpoint
+    plus ``extra_frames`` of overlap for loop closure.  With ``laps > 1``
+    every wall section is revisited once per lap — a multi-closure endurance
+    scenario producing closures to MANY distinct old maps.  World y is the
     camera's down axis; the trajectory is planar (y=0).
     """
     poses = []
     pos = np.array([0.0, 0.0, 0.0])
-    yaw = 0.0  # heading in the x-z plane; 0 = +x ... defined below
+    yaw = 0.0
 
-    def T_wc_from(pos, yaw):
-        # camera forward (+z axis of the camera) points along the heading
-        fwd = np.array([np.sin(yaw), 0.0, np.cos(yaw)])
-        right = np.array([np.cos(yaw), 0.0, -np.sin(yaw)])
-        down = np.array([0.0, 1.0, 0.0])
-        R_cw = np.stack([right, down, fwd], axis=1)  # camera axes in world
-        T_cw = np.eye(4, dtype=np.float32)
-        T_cw[:3, :3] = R_cw
-        T_cw[:3, 3] = pos
-        return np.linalg.inv(T_cw).astype(np.float32)
-
-    sides = [side_a, side_b, side_a, side_b]
+    sides = [side_a, side_b, side_a, side_b] * laps
     for side in sides:
         n = int(round(side / step_m))
         for _ in range(n):
-            poses.append(T_wc_from(pos, yaw))
+            poses.append(_T_wc_from(pos, yaw))
             fwd = np.array([np.sin(yaw), 0.0, np.cos(yaw)])
             pos = pos + step_m * fwd
         for _ in range(turn_frames):
-            poses.append(T_wc_from(pos, yaw))
+            poses.append(_T_wc_from(pos, yaw))
             yaw += (np.pi / 2) / turn_frames
     for _ in range(extra_frames):  # revisit overlap past the start
-        poses.append(T_wc_from(pos, yaw))
+        poses.append(_T_wc_from(pos, yaw))
         fwd = np.array([np.sin(yaw), 0.0, np.cos(yaw)])
         pos = pos + step_m * fwd
     return poses
+
+
+def out_and_back_trajectory(
+    length_m: float = 14.0, step_m: float = 0.4, turn_frames: int = 12,
+    overlap_frames: int = 12,
+) -> List[np.ndarray]:
+    """Out along +z, 180-degree turn, back to the start, turn again, and
+    re-walk the first few outbound steps.
+
+    The final stretch re-observes the FIRST outbound viewpoints with
+    matching heading — the relocalization scenario (a closure against the
+    oldest maps; viewpoints on the return leg itself face the opposite way
+    and cannot match, which is exactly why the final turn exists).
+    """
+    poses = []
+    pos = np.array([0.0, 0.0, 0.0])
+    yaw = 0.0
+    n = int(round(length_m / step_m))
+    for _ in range(n):
+        poses.append(_T_wc_from(pos, yaw))
+        pos = pos + step_m * np.array([np.sin(yaw), 0.0, np.cos(yaw)])
+    for _ in range(2 * turn_frames):
+        poses.append(_T_wc_from(pos, yaw))
+        yaw += np.pi / (2 * turn_frames)
+    for _ in range(n):
+        poses.append(_T_wc_from(pos, yaw))
+        pos = pos + step_m * np.array([np.sin(yaw), 0.0, np.cos(yaw)])
+    for _ in range(2 * turn_frames):
+        poses.append(_T_wc_from(pos, yaw))
+        yaw += np.pi / (2 * turn_frames)
+    for _ in range(overlap_frames):
+        poses.append(_T_wc_from(pos, yaw))
+        pos = pos + step_m * np.array([np.sin(yaw), 0.0, np.cos(yaw)])
+    return poses
+
+
+def crush_exposure(image, strength: float = 0.985):
+    """Simulate an exposure blow-out: contrast collapsed below the FAST
+    threshold.  The frame remains a real image through the full frontend —
+    detection simply finds (almost) nothing, the track is Lost, and the
+    orchestrator's failure path must recover (SURVEY.md §5.3)."""
+    return 128.0 + (image - 128.0) * (1.0 - strength)
 
 
 def iter_rendered_loop(
@@ -240,6 +285,7 @@ def iter_rendered_loop(
     step_m: float = 0.35,
     turn_frames: int = 14,
     fx: float = 450.0,
+    laps: int = 1,
 ) -> Iterator[StereoFrame]:
     """Rendered closed-loop stereo sequence with GT poses (camera in world).
 
@@ -248,7 +294,7 @@ def iter_rendered_loop(
     """
     cam = synthetic_camera(rows, cols, fx=fx)
     planes = make_room(seed=seed, size_x=side_b + 12.0, size_z=side_a + 12.0)
-    poses = loop_trajectory(side_a, side_b, step_m, turn_frames)
+    poses = loop_trajectory(side_a, side_b, step_m, turn_frames, laps=laps)
     if count is not None:
         poses = poses[:count]
     for i, T_wc in enumerate(poses):

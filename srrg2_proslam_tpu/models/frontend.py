@@ -24,7 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import config as cfg
-from ..ops.features import FeatureExtractorConfig, extract_features
+from ..ops.features import (
+    FeatureExtractorConfig, extract_features, extract_features_batch,
+)
 from ..ops.matching import EpipolarMatcherConfig, match_epipolar
 from ..ops.subpixel import refine_disparity
 
@@ -77,19 +79,11 @@ class DepthAdaptorConfig:
     maximum_depth_m: float = 50.0
 
 
-@partial(jax.jit, static_argnames="config")
-def adapt_stereo(
-    image_left: jnp.ndarray,
-    image_right: jnp.ndarray,
+def _stereo_tail(
+    image_left, image_right, uv_l, desc_l, valid_l, uv_r, desc_r, valid_r,
     config: StereoAdaptorConfig,
 ) -> StereoMeasurement:
-    """Stereo frame -> 4-D measurements. Images: [H, W] float32 (0..255)."""
-    # batched L/R frontend: one vmapped trace fills the chip with both images
-    images = jnp.stack([image_left, image_right])
-    feats = jax.vmap(lambda im: extract_features(im, config.extractor))(images)
-    uv_l, desc_l, valid_l = feats.uv[0], feats.desc[0], feats.valid[0]
-    uv_r, desc_r, valid_r = feats.uv[1], feats.desc[1], feats.valid[1]
-
+    """Epipolar matching + sub-pixel + measurement assembly for one pair."""
     matches = match_epipolar(
         uv_l, desc_l, valid_l, uv_r, desc_r, valid_r, config.matcher
     )
@@ -117,6 +111,64 @@ def adapt_stereo(
 
 
 @partial(jax.jit, static_argnames="config")
+def adapt_stereo(
+    image_left: jnp.ndarray,
+    image_right: jnp.ndarray,
+    config: StereoAdaptorConfig,
+) -> StereoMeasurement:
+    """Stereo frame -> 4-D measurements. Images: [H, W] float32 (0..255)."""
+    # batched L/R frontend: one batched trace fills the chip with both images
+    images = jnp.stack([image_left, image_right])
+    feats = extract_features_batch(images, config.extractor)
+    return _stereo_tail(
+        image_left, image_right,
+        feats.uv[0], feats.desc[0], feats.valid[0],
+        feats.uv[1], feats.desc[1], feats.valid[1], config,
+    )
+
+
+@partial(jax.jit, static_argnames="config")
+def adapt_stereo_batch(
+    lefts: jnp.ndarray,     # [B, H, W]
+    rights: jnp.ndarray,    # [B, H, W]
+    config: StereoAdaptorConfig,
+) -> StereoMeasurement:
+    """Batched stereo adaptor for B frames (chunked stepping mode).
+
+    All 2B images run through ONE batched frontend (the dense Pallas BRIEF
+    kernel batches through its grid — it must not be wrapped in vmap, see
+    ops/features.extract_features_batch); the per-pair matching tail is
+    vmapped.  Returns StereoMeasurement with leading axis B.
+    """
+    B = lefts.shape[0]
+    feats = extract_features_batch(
+        jnp.concatenate([lefts, rights]), config.extractor)
+    return jax.vmap(
+        lambda il, ir, ul, dl, vl, ur, dr, vr: _stereo_tail(
+            il, ir, ul, dl, vl, ur, dr, vr, config)
+    )(
+        lefts, rights,
+        feats.uv[:B], feats.desc[:B], feats.valid[:B],
+        feats.uv[B:], feats.desc[B:], feats.valid[B:],
+    )
+
+
+def _rgbd_tail(feats, depth_raw, config: DepthAdaptorConfig):
+    H, W = depth_raw.shape
+    y = jnp.clip(feats.uv[:, 1].astype(jnp.int32), 0, H - 1)
+    x = jnp.clip(feats.uv[:, 0].astype(jnp.int32), 0, W - 1)
+    depth = depth_raw[y, x] * config.depth_scale
+    ok = (feats.valid & (depth > config.minimum_depth_m)
+          & (depth < config.maximum_depth_m))
+    points = jnp.concatenate([feats.uv, depth[:, None]], axis=-1)
+    return DepthMeasurement(
+        points=jnp.where(ok[:, None], points, 0.0),
+        desc=jnp.where(ok[:, None], feats.desc, jnp.int8(-1)),
+        valid=ok,
+    )
+
+
+@partial(jax.jit, static_argnames="config")
 def adapt_rgbd(
     intensity: jnp.ndarray,
     depth_raw: jnp.ndarray,
@@ -129,14 +181,15 @@ def adapt_rgbd(
     raw_data_preprocessor_monocular_depth.cpp:121-134).
     """
     feats = extract_features(intensity, config.extractor)
-    H, W = depth_raw.shape
-    y = jnp.clip(feats.uv[:, 1].astype(jnp.int32), 0, H - 1)
-    x = jnp.clip(feats.uv[:, 0].astype(jnp.int32), 0, W - 1)
-    depth = depth_raw[y, x] * config.depth_scale
-    ok = feats.valid & (depth > config.minimum_depth_m) & (depth < config.maximum_depth_m)
-    points = jnp.concatenate([feats.uv, depth[:, None]], axis=-1)
-    return DepthMeasurement(
-        points=jnp.where(ok[:, None], points, 0.0),
-        desc=jnp.where(ok[:, None], feats.desc, jnp.int8(-1)),
-        valid=ok,
-    )
+    return _rgbd_tail(feats, depth_raw, config)
+
+
+@partial(jax.jit, static_argnames="config")
+def adapt_rgbd_batch(
+    intensities: jnp.ndarray,   # [B, H, W]
+    depths_raw: jnp.ndarray,    # [B, H, W]
+    config: DepthAdaptorConfig,
+) -> DepthMeasurement:
+    """Batched RGB-D adaptor for B frames (chunked stepping mode)."""
+    feats = extract_features_batch(intensities, config.extractor)
+    return jax.vmap(lambda f, d: _rgbd_tail(f, d, config))(feats, depths_raw)

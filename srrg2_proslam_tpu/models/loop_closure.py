@@ -394,6 +394,31 @@ def select_db_rows(arena_desc, arena_pos, arena_valid, arena_num_updates,
             jnp.sum(sel_valid).astype(jnp.int32))
 
 
+def compact_arena(arena, budget: int):
+    """Budget-compacted view of an arena + the selected rows.
+
+    The compacted rows are a local map's REPRESENTATION in the closure
+    subsystem: exactly the rows inserted into the database also form the
+    query and closure-validation set — 4x less Hamming/GN work at the
+    default budget vs querying the full arena, with the most mature (most
+    re-observed, most reliable) landmarks doing the talking.  Returns
+    (compacted LandmarkArena [budget], rows [budget] int32, n []).
+    """
+    from . import landmarks as lm
+
+    desc_b, pts_b, rows_b, valid_b, n_b = select_db_rows(
+        arena.desc, arena.pos, arena.valid, arena.num_updates,
+        budget=budget)
+    compact = lm.LandmarkArena(
+        pos=pts_b,
+        cov=arena.cov[rows_b],
+        desc=desc_b,
+        num_updates=arena.num_updates[rows_b],
+        valid=valid_b,
+    )
+    return compact, rows_b, n_b
+
+
 @partial(jax.jit, static_argnames=("config", "num_maps"))
 def detect_and_validate(
     query_desc: jnp.ndarray,

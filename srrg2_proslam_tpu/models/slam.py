@@ -37,6 +37,7 @@ from ..ops.pinhole import Camera
 from . import landmarks as lm
 from . import loop_closure
 from .tracker import TrackerConfig, TrackerState, initial_state, track_step
+from . import chunk as chunk_ops
 
 
 @cfg.register
@@ -104,6 +105,15 @@ class GraphSLAMConfig:
     # fully synchronous (one blocking readback per frame, the reference's
     # own cadence, app_benchmark.cpp:123-178).
     speculation_depth: int = 0
+    # chunked stepping (models/chunk.py): > 0 processes this many frames
+    # per device program via ``process_sequence`` — the adaptor, tracker
+    # AND status machine run on device, cutting host<->device round trips
+    # from ~3/frame to ~2/chunk.  The production mode for high-latency
+    # links and the launch-overhead-optimal mode everywhere.  0 keeps the
+    # per-frame ``process`` path.
+    chunk_size: int = 0
+    # chunks in flight before the oldest chunk's packet is consumed
+    chunk_lag: int = 2
 
 
 # tracker status machine (app_benchmark.cpp:123-178)
@@ -155,6 +165,30 @@ class _ClosureMarker:
     )
 
 
+class _ChunkEntry(NamedTuple):
+    """A dispatched-but-unconsumed chunk (chunked mode, models/chunk.py)."""
+
+    ys: object        # chunk_ops.ChunkYs device refs
+    start: int        # first global frame of the chunk
+    lo: int
+    hi: int
+
+
+class _ChunkMarker:
+    """Deferred split-op decision packet (chunked mode).
+
+    Unlike the per-frame _ClosureMarker, chunk markers do NOT gate record
+    consumption: closure factors/PGO already ran on device inside split_op;
+    the host only counts closures and — on relocalization — rolls the run
+    back to the finish frame via immutable device refs stored here."""
+
+    __slots__ = (
+        "res", "old_map", "new_map", "num_maps_at", "pre_edge_count",
+        "fin_global", "frame_index", "timestamp", "T_split", "velocity",
+        "chunks_at",
+    )
+
+
 class GraphSLAM:
     """Host orchestrator driving the jitted stages.
 
@@ -185,6 +219,15 @@ class GraphSLAM:
         # speculative pipeline: dispatched frames + deferred closure
         # decisions, consumed ``speculation_depth`` behind dispatch
         self._queue = deque()
+        # chunked pipeline (config.chunk_size > 0, models/chunk.py)
+        self._cqueue = deque()
+        self._pending_markers: list = []
+        self._chunks_consumed = 0
+        self._seq = None          # active sequence: dict(kind, arrays, ts, T)
+        self._seq_cursor = 0
+        self._seq_lo = 0
+        self._fim_dev = None      # device mirrors (created at sequence start)
+        self._edge_count_dev = None
         # device references to finalized local-map arenas, indexed by map
         # id — the store the relocalizer reloads from (the reference keeps
         # every local map alive in its graph; we keep the immutable device
@@ -198,6 +241,10 @@ class GraphSLAM:
         self._db_entries: "dict" = {}
         self.num_db_evictions = 0
         self.num_relocalizations = 0
+        self.num_losses = 0
+        # (reference_map, query_map) of every ACCEPTED closure, in order —
+        # observability for multi-closure scenarios (tests, diagnostics)
+        self.closure_events: list = []
         # local-BA keyframe records of the ACTIVE map: (T_lm_robot np,
         # match_idx np, gn_meas np, mask np)
         self._ba_keyframes: list = []
@@ -244,14 +291,16 @@ class GraphSLAM:
     def _entry_count(self, entry, exact: bool = False) -> int:
         """Row count of a db entry; non-blocking unless ``exact``.
 
-        Freshly-inserted entries' counts are still in flight on the async
-        copy stream; until they land the per-map budget is used as a
-        conservative upper bound (may evict one map early, never overflows).
+        Device entries' counts are only read when ``exact`` (eviction /
+        rebuild); otherwise the per-map budget serves as a conservative
+        upper bound — may evict one map a split early, never overflows,
+        and never touches a possibly-pending device value (a blocking read
+        of one costs a full round trip and degrades the tunnel runtime).
         """
         n = entry.get("_n")
         if n is None:
             return entry["desc"].shape[0]  # materialized numpy entry
-        if exact or n.is_ready():
+        if exact:
             return int(np.asarray(n))
         return self.config.max_db_descriptors_per_map
 
@@ -352,8 +401,9 @@ class GraphSLAM:
         """
         arena = entry.state.arena
         result, closures, packet = loop_closure.detect_and_validate(
-            arena.desc, arena.valid, arena.pos, self.current_map, self.db,
-            self.graph.poses, self.config.loop, self.graph.capacity,
+            arena.desc, arena.valid, arena.pos, self.current_map,
+            self.db, self.graph.poses, self.config.loop,
+            self.graph.capacity,
         )
         packet.copy_to_host_async()
         m = _ClosureMarker()
@@ -382,6 +432,7 @@ class GraphSLAM:
             T_k = pkt[k, 6:22].reshape(4, 4).astype(np.float32)
             self._add_graph_edge(cand, m.query_map, jnp.asarray(T_k))
             self.num_closures += 1
+            self.closure_events.append((cand, m.query_map))
             if pkt[k, 2] > best_inl:
                 best_inl, best_k = pkt[k, 2], k
         with profile_time("pgo"):
@@ -504,7 +555,14 @@ class GraphSLAM:
 
     def flush(self):
         """Consume ALL pending pipeline entries (blocking as needed)."""
-        self._drain(0, force=True)
+        if getattr(self, "_draining", False):
+            return  # re-entrant flush from inside a consume callback
+        self._draining = True
+        try:
+            self._drain(0, force=True)
+            self._drain_chunk_queue(0, force=True)
+        finally:
+            self._draining = False
 
     def _drain(self, depth: int, force: bool = False):
         force = force or depth <= 0
@@ -590,6 +648,7 @@ class GraphSLAM:
         (correspondence_finder_projective_base_impl.cpp:251-258) —
         dead-reckoning a stale velocity through repeated losses otherwise
         runs away."""
+        self.num_losses += 1
         T_world_lm = self.graph.poses[self.current_map]
         T_world_robot = T_world_lm @ e.state.T_lm_robot
         with profile_time("db_insert"):
@@ -692,6 +751,303 @@ class GraphSLAM:
             marker.new_map = self.current_map
             marker.odo_edge_slot = self.num_edges - 1
             self._queue.append(marker)
+
+    # ------------------------------------------------------------------
+    # chunked stepping (models/chunk.py): B frames per device program
+    # ------------------------------------------------------------------
+
+    def process_sequence(self, a_all, b_all, timestamps, adaptor_config,
+                         count: int = None):
+        """Run a whole image sequence in chunked mode (chunk_size > 0).
+
+        ``a_all``/``b_all``: [T, H, W] image stacks (left/right for stereo,
+        intensity/raw-depth for RGB-D) — uploaded to device once; the
+        adaptor, tracker and status machine all run inside one device
+        program per ``chunk_size`` frames.  Equivalent frame-for-frame to
+        the per-frame ``process`` loop (tests/test_chunked.py).
+        """
+        T = int(count if count is not None else a_all.shape[0])
+        self._start_sequence(
+            dict(kind="images", a=jnp.asarray(a_all), b=jnp.asarray(b_all),
+                 acfg=adaptor_config),
+            timestamps, T)
+        self._run_sequence()
+
+    def process_meas_sequence(self, points_all, desc_all, valid_all,
+                              timestamps, count: int = None):
+        """Chunked mode over pre-adapted measurement stacks [T, N, ...]."""
+        T = int(count if count is not None else points_all.shape[0])
+        self._start_sequence(
+            dict(kind="meas", a=jnp.asarray(points_all),
+                 b=jnp.asarray(desc_all), c=jnp.asarray(valid_all)),
+            timestamps, T)
+        self._run_sequence()
+
+    def _start_sequence(self, seq: dict, timestamps, T: int):
+        B = self.config.chunk_size
+        assert B > 0, "sequence processing requires config.chunk_size > 0"
+        assert not self.config.local_ba.enabled, \
+            "local BA is not supported in chunked mode yet"
+        assert not self._queue, "cannot mix per-frame and chunked pipelines"
+        # pad the sequence to a whole number of chunks so the in-op dynamic
+        # slice never clamps onto preceding frames (tail frames are masked
+        # inactive via the [lo, hi) window)
+        Tp = -(-T // B) * B
+        for key in ("a", "b", "c"):
+            if key in seq and seq[key].shape[0] < Tp:
+                pad = Tp - seq[key].shape[0]
+                seq[key] = jnp.concatenate(
+                    [seq[key],
+                     jnp.zeros((pad,) + seq[key].shape[1:], seq[key].dtype)])
+        ts = list(timestamps)
+        ts += [float(len(ts) + i) for i in range(T - len(ts))]
+        seq["ts"] = ts
+        seq["T"] = T
+        self._seq = seq
+        self._seq_cursor = 0
+        self._seq_lo = 0
+        if self.num_maps == 0:
+            self._make_new_map(se3.identity())
+            self.status = INITIALIZING
+        self._fim_dev = jnp.int32(self._frames_in_current_map)
+        self._edge_count_dev = jnp.int32(self.num_edges)
+
+    def _run_sequence(self):
+        B = self.config.chunk_size
+        T = self._seq["T"]
+        while self._seq_cursor < T or self._cqueue or self._pending_markers:
+            if self._seq_cursor < T:
+                start = self._seq_cursor
+                lo = self._seq_lo
+                self._seq_lo = 0
+                self._dispatch_chunk(start, lo, min(B, T - start))
+                self._seq_cursor = start + B
+                self._drain_chunk_queue(self.config.chunk_lag)
+            else:
+                # tail: force-consume everything; a relocalization here can
+                # rewind the cursor, re-entering the dispatch branch
+                self._drain_chunk_queue(0, force=True)
+        self._seq = None
+
+    def _dispatch_chunk(self, start: int, lo: int, hi: int):
+        seq = self._seq
+        sp = self.config.splitting
+        with profile_time("chunk_dispatch"):
+            if seq["kind"] == "images":
+                state, fim, ys = chunk_ops.image_chunk_op(
+                    self.tracker_state, self._fim_dev, seq["a"], seq["b"],
+                    start, lo, hi, self.cam, seq["acfg"],
+                    self.config.tracker, self.model, self.config.chunk_size,
+                    self.config.min_track_inliers,
+                    sp.maximum_translation_m, sp.maximum_rotation_rad)
+            else:
+                state, fim, ys = chunk_ops.meas_chunk_op(
+                    self.tracker_state, self._fim_dev, seq["a"], seq["b"],
+                    seq["c"], start, lo, hi, self.cam, self.config.tracker,
+                    self.model, self.config.chunk_size,
+                    self.config.min_track_inliers,
+                    sp.maximum_translation_m, sp.maximum_rotation_rad)
+        self.tracker_state = state
+        self._fim_dev = fim
+        self._cqueue.append(_ChunkEntry(ys=ys, start=start, lo=lo, hi=hi))
+
+    def _drain_chunk_queue(self, lag: int, force: bool = False):
+        while self._cqueue and (force or len(self._cqueue) > lag):
+            entry = self._cqueue.popleft()
+            self._consume_chunk(entry)
+            self._chunks_consumed += 1
+            self._consume_due_markers(force=False)
+        self._consume_due_markers(force=force)
+
+    def _consume_chunk(self, entry: _ChunkEntry):
+        """Host mirror of the on-device status machine + frame records."""
+        config = self.config
+        with profile_time("status_readback"):
+            pkt = np.asarray(entry.ys.packets)
+        ts_all = self._seq["ts"]
+        P = chunk_ops
+        for i in range(pkt.shape[0]):
+            row = pkt[i]
+            if row[P.PKT_ACTIVE] < 0.5:
+                continue
+            g = entry.start + i
+            if self._frames_in_current_map == 0:
+                self.status = INITIALIZING
+            elif row[P.PKT_INLIERS] >= config.min_track_inliers:
+                self.status = TRACKING
+            else:
+                self.status = LOST
+            self._frames_in_current_map += 1
+            fin = row[P.PKT_FINISH]
+            if fin == P.FINISH_NONE:
+                T_rec = np.eye(4, dtype=np.float32)
+                T_rec[:3, :] = row[P.PKT_T:P.PKT_T + 12].reshape(3, 4)
+                self.frames.append(FrameRecord(
+                    ts_all[g], self.current_map, T_rec))
+            else:
+                with profile_time("split"):
+                    self._chunk_finish(entry, i, g, row,
+                                       lost=fin == P.FINISH_LOST)
+                self.frames.append(FrameRecord(
+                    ts_all[g], self.current_map,
+                    np.eye(4, dtype=np.float32)))
+                if fin == P.FINISH_LOST:
+                    self.num_losses += 1
+                    self.status = TRACKING
+                self._frames_in_current_map = 0
+            self._frame_count += 1
+
+    def _chunk_finish(self, entry: _ChunkEntry, i: int, g: int,
+                      row: np.ndarray, lost: bool):
+        """Dispatch the fused split op for a device-detected map finish."""
+        config = self.config
+        old = self.current_map
+        new_map = self.num_maps
+        if new_map >= self.graph.capacity:
+            self.graph = pgo.grow(self.graph, 2 * self.graph.capacity,
+                                  self.graph.edge_capacity)
+        K = config.loop.max_candidates
+        edges_upper = (self.num_edges + 1 + K
+                       + K * len(self._pending_markers))
+        if edges_upper >= self.graph.edge_capacity:
+            self.graph = pgo.grow(self.graph, self.graph.capacity,
+                                  2 * self.graph.edge_capacity)
+        do_loop = ((not lost) and config.enable_loop_closing
+                   and self.num_maps >= 2)
+        insert_db = (config.enable_loop_closing
+                     and old not in self._db_entries)
+        if insert_db:
+            self._maybe_evict_db()
+        P = chunk_ops
+        T_finish = np.eye(4, dtype=np.float32)
+        T_finish[:3, :] = row[P.PKT_T:P.PKT_T + 12].reshape(3, 4)
+        pre_edge_count = self._edge_count_dev
+        res = chunk_ops.split_op(
+            self.graph, self._edge_count_dev, entry.ys.arenas, i,
+            jnp.asarray(T_finish), old, new_map, self.db,
+            config.loop, config.pgo, config.max_db_descriptors_per_map,
+            self.graph.capacity, do_loop, insert_db,
+        )
+        self.graph = res.graph
+        self._edge_count_dev = res.edge_count
+        self.db = res.db
+        self.num_edges += 1
+        self._map_arenas[old] = res.finished_arena
+        if insert_db:
+            self._db_entries[old] = dict(
+                desc=res.query_arena.desc, points=res.query_arena.pos,
+                rows=res.db_rows, _n=res.db_n,
+            )
+        self.num_maps += 1
+        self.current_map = new_map
+        if do_loop:
+            m = _ChunkMarker()
+            m.res = res
+            m.old_map = old
+            m.new_map = new_map
+            m.num_maps_at = self.num_maps
+            m.pre_edge_count = pre_edge_count
+            m.fin_global = g
+            m.frame_index = len(self.frames)
+            m.timestamp = self._seq["ts"][g]
+            m.T_split = T_finish
+            m.velocity = row[P.PKT_VEL:P.PKT_VEL + 6].astype(np.float32)
+            m.chunks_at = self._chunks_consumed
+            self._pending_markers.append(m)
+
+    def _maybe_evict_db(self):
+        """Pre-insert capacity check (the insert itself runs in split_op)."""
+        budget = self.config.max_db_descriptors_per_map
+        total = sum(self._entry_count(e) for e in self._db_entries.values())
+        if total + budget <= self.db.capacity:
+            return
+        total = sum(self._entry_count(e, exact=True)
+                    for e in self._db_entries.values())
+        while (total + budget > self.db.capacity
+               and len(self._db_entries) > 1):
+            oldest = next(iter(self._db_entries))
+            total -= self._entry_count(self._db_entries[oldest], exact=True)
+            del self._db_entries[oldest]
+            self.num_db_evictions += 1
+            print(f"[slam] loop database full: evicted map {oldest} "
+                  f"({self.num_db_evictions} evictions total)")
+        self._rebuild_db()
+
+    def _consume_due_markers(self, force: bool):
+        """Consume split decision packets at least one chunk behind their
+        dispatch (the packet has long landed by then)."""
+        while self._pending_markers:
+            m = self._pending_markers[0]
+            if not force and self._chunks_consumed <= m.chunks_at + 1:
+                return
+            self._pending_markers.pop(0)
+            self._consume_chunk_marker(m)
+
+    def _consume_chunk_marker(self, m: _ChunkMarker):
+        with profile_time("closure_decision"):
+            pkt = np.asarray(m.res.packet)
+        K = self.config.loop.max_candidates
+        cp = pkt[2:].reshape(K, 22)
+        accepted = [k for k in range(K)
+                    if cp[k, 1] > 0.5 and cp[k, 0] >= 0]
+        if not accepted:
+            return
+        self.num_closures += len(accepted)
+        self.num_edges += len(accepted)
+        for k in accepted:
+            self.closure_events.append((int(cp[k, 0]), m.old_map))
+        best_k = max(accepted, key=lambda k: cp[k, 2])
+        row = cp[best_k]
+        if self._reloc_gates(row):
+            self._chunk_relocalize(
+                m, best_k, int(row[0]),
+                row[6:22].reshape(4, 4).astype(np.float32), int(pkt[0]))
+
+    def _chunk_relocalize(self, m: _ChunkMarker, k: int, cand: int,
+                          T_k: np.ndarray, edge_count_exact: int):
+        """Reload old map ``cand``: rewind to the finish frame and replay.
+
+        Device state rolls back to the immutable post-split refs stored in
+        the marker; host bookkeeping truncates to the finish frame; the
+        sequence cursor rewinds so ``_run_sequence`` re-dispatches the
+        following frames against the reloaded map.
+        """
+        config = self.config
+        self._cqueue.clear()
+        self._pending_markers.clear()
+        self.frames = self.frames[:m.frame_index]
+        self.db = m.res.db
+        self._edge_count_dev = m.res.edge_count
+        self.num_edges = edge_count_exact
+        for mid in list(self._map_arenas):
+            if mid >= m.num_maps_at:
+                del self._map_arenas[mid]
+        for mid in list(self._db_entries):
+            if mid >= m.num_maps_at:
+                del self._db_entries[mid]
+        self.num_maps = m.num_maps_at
+        ref_arena = jax.tree_util.tree_map(jnp.asarray,
+                                           self._map_arenas[cand])
+        self.graph, self.tracker_state = chunk_ops.reloc_op(
+            m.res.graph, ref_arena, m.res.finished_arena,
+            m.res.T_candidates, m.res.match_row, m.res.match_mask, k,
+            jnp.asarray(m.T_split), jnp.asarray(m.velocity),
+            m.new_map, m.pre_edge_count,
+            config.closure_merge_max_insertions,
+            config.tracker.landmark_estimator,
+        )
+        self._map_arenas[cand] = self.tracker_state.arena
+        self._fim_dev = jnp.int32(1)
+        self._frames_in_current_map = 1
+        self.current_map = cand
+        self.num_relocalizations += 1
+        self.frames.append(FrameRecord(
+            m.timestamp, cand, (T_k @ m.T_split).astype(np.float32)))
+        # rewind the sequence cursor to the frame after the finish
+        B = config.chunk_size
+        gnext = m.fin_global + 1
+        self._seq_cursor = (gnext // B) * B
+        self._seq_lo = gnext - self._seq_cursor
 
     # ------------------------------------------------------------------
     # accessors (example_slam_3d.cpp:106-141 parity)

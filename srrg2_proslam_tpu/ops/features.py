@@ -82,6 +82,13 @@ class FeatureExtractorConfig:
     # default: the planar KITTI/ICL trajectories carry no roll and the
     # upright path matches the retuned thresholds; EuRoC's MAV does roll.
     oriented: bool = False
+    # upright descriptors via the dense Pallas bitplane kernel
+    # (ops/brief_pallas.py) on TPU backends: identical bits, ~20x fewer
+    # random accesses than the per-keypoint gather path (measured round 3:
+    # descriptors were 16 of the 29 ms/frame budget).  Ignored when
+    # ``oriented`` (rotation needs per-keypoint sampling) and on CPU
+    # (Pallas interpret mode is too slow; the gather path is fine there).
+    dense_brief: bool = True
 
 
 class Features(NamedTuple):
@@ -137,11 +144,18 @@ def _boxfilter(x: jnp.ndarray, window: int) -> jnp.ndarray:
     return s / float(window * window)
 
 
-def detect_keypoints(image: jnp.ndarray, config: FeatureExtractorConfig):
+def detect_keypoints(image: jnp.ndarray, config: FeatureExtractorConfig,
+                     mask: jnp.ndarray = None):
     """Detect FAST keypoints with NMS and per-grid-region quotas.
 
     image: [H, W] float32.  Returns (uv [N,2], response [N], valid [N]) with
     N = config.max_keypoints (rounded down to a multiple of grid cells).
+
+    ``mask`` ([H, W] bool, optional) restricts detection to True pixels —
+    the seeded/selective detection mode of the reference
+    (intensity_feature_extractor_selective.cpp:49-205: binary masks around
+    projections / epipolar stripes).  The default dense path detects
+    everywhere; scripts/ab_seeded_detection.py A/B-measures the two.
     """
     H, W = image.shape
     if config.use_pallas_fast:
@@ -151,6 +165,8 @@ def detect_keypoints(image: jnp.ndarray, config: FeatureExtractorConfig):
     else:
         score_raw = fast_scores(image, config.detector_threshold)
     score = score_raw
+    if mask is not None:
+        score = jnp.where(mask, score, 0.0)
     if config.enable_nms:
         pooled = _maxpool2d(score, config.nms_window)
         score = jnp.where(score >= pooled, score, 0.0)
@@ -249,6 +265,13 @@ def compute_descriptors(image: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
     smooth = _boxfilter(image, config.smoothing_window)
     y = jnp.clip(uv[:, 1].astype(jnp.int32), BORDER, H - BORDER - 1)
     x = jnp.clip(uv[:, 0].astype(jnp.int32), BORDER, W - BORDER - 1)
+    if (config.dense_brief and not config.oriented
+            and jax.default_backend() not in ("cpu",)):
+        from .brief_pallas import brief_bitplanes, descriptors_from_planes
+
+        planes = brief_bitplanes(smooth)
+        signed = descriptors_from_planes(planes, y, x)
+        return jnp.where(valid[:, None], signed, jnp.int8(-1))
     p_off = jnp.asarray(_BRIEF_PAIRS[:, 0])  # [256, 2] (dy, dx)
     q_off = jnp.asarray(_BRIEF_PAIRS[:, 1])
     if config.oriented:
@@ -287,8 +310,54 @@ def compute_descriptors(image: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
     return jnp.where(valid[:, None], signed, jnp.int8(-1))
 
 
-def extract_features(image: jnp.ndarray, config: FeatureExtractorConfig) -> Features:
+def extract_features(image: jnp.ndarray, config: FeatureExtractorConfig,
+                     mask: jnp.ndarray = None) -> Features:
     """Full frontend for one grayscale image [H, W] float32 (0..255)."""
-    uv, response, valid = detect_keypoints(image, config)
+    uv, response, valid = detect_keypoints(image, config, mask)
     desc = compute_descriptors(image, uv, valid, config)
     return Features(uv=uv, response=response, desc=desc, valid=valid)
+
+
+def extract_features_batch(images: jnp.ndarray,
+                           config: FeatureExtractorConfig) -> Features:
+    """Batched frontend for [B, H, W] images -> Features with leading B.
+
+    On TPU with upright descriptors, the dense Pallas BRIEF kernel is
+    batched NATIVELY through its grid (ops/brief_pallas.py) — wrapping the
+    kernel in jax.vmap scope-allocates the whole batched output in VMEM
+    and overflows the 16 MB limit, so callers that batch images (the
+    stereo adaptor's L/R pair, the chunked stepping mode's B frames) MUST
+    come through here rather than vmapping ``extract_features``.
+    """
+    dense = (config.dense_brief and not config.oriented
+             and jax.default_backend() not in ("cpu",))
+    if not dense:
+        return jax.vmap(lambda im: extract_features(im, config))(images)
+    uv, response, valid = jax.vmap(
+        lambda im: detect_keypoints(im, config))(images)
+    smooth = jax.vmap(
+        lambda im: _boxfilter(im, config.smoothing_window))(images)
+    from .brief_pallas import brief_bitplanes, descriptors_from_planes
+
+    planes = brief_bitplanes(smooth)            # [B, 8, H, W]
+    H, W = images.shape[1], images.shape[2]
+    y = jnp.clip(uv[..., 1].astype(jnp.int32), BORDER, H - BORDER - 1)
+    x = jnp.clip(uv[..., 0].astype(jnp.int32), BORDER, W - BORDER - 1)
+    desc = jax.vmap(descriptors_from_planes)(planes, y, x)
+    desc = jnp.where(valid[..., None], desc, jnp.int8(-1))
+    return Features(uv=uv, response=response, desc=desc, valid=valid)
+
+
+def stripe_mask(rows: int, cols: int, seed_v: jnp.ndarray,
+                seed_valid: jnp.ndarray, thickness: float = 2.0):
+    """Epipolar stripe mask from seed keypoint rows (selective mode S3).
+
+    True on every image row within ``thickness`` px of some valid seed
+    keypoint's v coordinate — the reference's full-row stripe mode for
+    seeded right-camera stereo detection
+    (intensity_feature_extractor_selective.cpp:80-125).
+    """
+    v = jax.lax.broadcasted_iota(jnp.float32, (rows, 1), 0)
+    dist = jnp.abs(v - jnp.where(seed_valid, seed_v, -1e9)[None, :])
+    hit = jnp.min(dist, axis=1, keepdims=True) <= thickness
+    return jnp.broadcast_to(hit, (rows, cols))

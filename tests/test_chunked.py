@@ -1,0 +1,95 @@
+"""Chunked-mode equivalence: B frames per device program == per-frame loop.
+
+models/chunk.py moves the adaptor, tracker, AND the status machine
+(Initializing/Tracking/Lost + the viewpoint splitting criterion) into one
+device program per chunk, with the split-time pipeline (db insert, loop
+query/validation, closure factors, PGO, makeNewMap) fused into a second
+single dispatch.  Frame-level math is the same track_step, so the end state
+must match the synchronous per-frame orchestrator exactly — pinned here on
+runs that exercise splits, losses, loop closures, and relocalization.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from srrg2_proslam_tpu.models.loop_closure import LoopDetectorConfig
+from srrg2_proslam_tpu.models.slam import (
+    GraphSLAM, GraphSLAMConfig, SplittingConfig,
+)
+from srrg2_proslam_tpu.models.tracker import TrackerConfig
+from tests.test_slam import CAM
+from tests.test_speculation import (
+    _frames_linear, _frames_out_and_back,
+)
+
+
+def _config(chunk, loop=False):
+    return GraphSLAMConfig(
+        tracker=TrackerConfig(),
+        splitting=SplittingConfig(maximum_translation_m=1.2),
+        loop=LoopDetectorConfig(minimum_age_difference=1),
+        arena_capacity=1024,
+        database_capacity=8192,
+        max_db_descriptors_per_map=512,
+        enable_loop_closing=loop,
+        chunk_size=chunk,
+    )
+
+
+def _drive_perframe(frames, loop=False):
+    slam = GraphSLAM(CAM, _config(0, loop))
+    for i, (p, d, ok) in enumerate(frames):
+        slam.process(p, d, ok, timestamp=0.1 * i)
+    slam.flush()
+    return slam
+
+
+def _drive_chunked(frames, chunk, loop=False):
+    slam = GraphSLAM(CAM, _config(chunk, loop))
+    pts = jnp.stack([f[0] for f in frames])
+    desc = jnp.stack([f[1] for f in frames])
+    valid = jnp.stack([f[2] for f in frames])
+    slam.process_meas_sequence(pts, desc, valid,
+                               [0.1 * i for i in range(len(frames))])
+    return slam
+
+
+def _assert_equivalent(a, b):
+    assert a.num_maps == b.num_maps
+    assert a.num_closures == b.num_closures
+    assert a.num_relocalizations == b.num_relocalizations
+    assert len(a.frames) == len(b.frames)
+    assert [f.local_map_index for f in a.frames] == \
+        [f.local_map_index for f in b.frames]
+    ta = np.stack(a.trajectory())
+    tb = np.stack(b.trajectory())
+    np.testing.assert_allclose(ta, tb, atol=1e-5)
+
+
+def test_chunked_matches_perframe_on_splits(rng):
+    frames = _frames_linear(rng, n_frames=14)
+    ref = _drive_perframe(frames)
+    assert ref.num_maps >= 3  # the run must actually split
+    for chunk in (4, 5, 16):  # aligned, straddling, single-chunk
+        _assert_equivalent(ref, _drive_chunked(frames, chunk))
+
+
+def test_chunked_matches_perframe_on_loss(rng):
+    frames = _frames_linear(rng, n_frames=12, lose_at=(5,))
+    ref = _drive_perframe(frames)
+    _assert_equivalent(ref, _drive_chunked(frames, 4))
+
+
+def test_chunked_matches_perframe_with_closures(rng):
+    frames = _frames_out_and_back(rng)
+    ref = _drive_perframe(frames, loop=True)
+    assert ref.num_relocalizations >= 1  # exercises the chunk rollback
+    _assert_equivalent(ref, _drive_chunked(frames, 4, loop=True))
+    _assert_equivalent(ref, _drive_chunked(frames, 8, loop=True))
+
+
+def test_chunked_status_and_counters(rng):
+    frames = _frames_linear(rng, n_frames=9)
+    slam = _drive_chunked(frames, 4)
+    assert slam.status == "Tracking"
+    assert slam._frame_count == 9
+    assert len(slam.timestamps()) == 9
