@@ -8,8 +8,9 @@ actual device compute is ~0.05-2 ms/frame.  The fix is architectural, and
 it is the right TPU shape even off the tunnel (launch overhead amortization,
 SURVEY.md §7.3 hard parts 4/6):
 
-  * ``image_chunk_op`` — ONE jit processes B frames: the stereo/RGB-D
-    adaptor vmapped over the chunk's images, then a ``lax.scan`` of the
+  * ``image_chunk_op`` — ONE jit processes B frames: the batched
+    stereo/RGB-D adaptor over the chunk's images (grid-batched dense
+    BRIEF), then a ``lax.scan`` of the
     fused tracker step, WITH the reference's per-frame status machine
     (Initializing/Tracking/Lost, app_benchmark.cpp:123-178) and the
     viewpoint splitting criterion (kitti.conf:542-550) evaluated ON DEVICE:

@@ -1,8 +1,12 @@
 """Fused Pallas TPU kernel for the FAST-9/16 corner score.
 
 The XLA formulation in ops/features.py materializes 16 shifted full-image
-copies plus ~290 elementwise min/max passes — at 376x1241 that is the
-pipeline's dominant HBM-bandwidth cost (~10 ms/image, 90% of frame time).
+copies plus ~290 elementwise min/max passes.  Honest round-3 measurement
+(inside fused batched jits, v5e, 480x640): XLA ~1.2 ms/image and this
+kernel statistically EQUAL — XLA fuses the rolled comparisons well — so
+``use_pallas_fast`` stays off by default (and the kernel must not be
+jax.vmap-ed: batched pallas outputs scope-allocate in VMEM; batch through
+a grid like ops/brief_pallas.py if it is ever batched).
 This kernel computes the identical score with the image resident in VMEM:
 
   * the padded image (a camera image is ~2 MB, far under the ~16 MB VMEM)

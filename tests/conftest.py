@@ -22,10 +22,12 @@ import jax  # noqa: E402
 # overrides JAX_PLATFORMS from the env; the config update below wins.
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compilation cache: the suite recompiles the same kernels across
-# runs; this turns multi-minute reruns into seconds.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache for the CPU suite: serializing the large
+# chunked-stepping executable SIGSEGVs inside XLA:CPU AOT export on this
+# image (jax 0.9.0, measured round 3 — crash in put_executable_and_time),
+# and entries written on one pod machine SIGILL/SIGSEGV when loaded on
+# another with different CPU features.  Cold compiles cost a few extra
+# minutes per run; a crashing suite costs everything.
 
 
 def pytest_configure(config):

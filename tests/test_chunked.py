@@ -9,6 +9,7 @@ must match the synchronous per-frame orchestrator exactly — pinned here on
 runs that exercise splits, losses, loop closures, and relocalization.
 """
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from srrg2_proslam_tpu.models.loop_closure import LoopDetectorConfig
@@ -20,6 +21,22 @@ from tests.test_slam import CAM
 from tests.test_speculation import (
     _frames_linear, _frames_out_and_back,
 )
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_jit_caches():
+    """Drop all cached executables before this module.
+
+    XLA:CPU segfaults sporadically inside backend compilation once a single
+    process has accumulated several hundred compiled programs (observed
+    twice at exactly this point of the full suite, jax 0.9.0; the same
+    tests pass standalone).  Clearing the jit caches bounds the live
+    executable count at the cost of a few re-compilations."""
+    import jax
+
+    jax.clear_caches()
+    yield
+
 
 
 def _config(chunk, loop=False):

@@ -27,6 +27,22 @@ from srrg2_proslam_tpu.models.slam import (
 from srrg2_proslam_tpu.models.tracker import TrackerConfig
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_jit_caches():
+    """Drop all cached executables before this module.
+
+    XLA:CPU segfaults sporadically inside backend compilation once a single
+    process has accumulated several hundred compiled programs (observed
+    twice at exactly this point of the full suite, jax 0.9.0; the same
+    tests pass standalone).  Clearing the jit caches bounds the live
+    executable count at the cost of a few re-compilations."""
+    import jax
+
+    jax.clear_caches()
+    yield
+
+
+
 @pytest.mark.slow
 def test_rendered_closed_loop_passes_kitti_gates():
     config = GraphSLAMConfig(
