@@ -10,13 +10,14 @@ full compute() the same way).  Frames are the rendered closed-loop stereo
 sequence (io/synthetic.py) pre-rendered to device so the loop measures SLAM
 compute, not synthesis.
 
-The headline number is the PRODUCTION configuration: the speculative
-pipeline (GraphSLAMConfig.speculation_depth > 0, models/slam.py) in which no
-frame blocks on a device readback — status packets stream back
-asynchronously and split/lost mispredicts roll back and replay.  The
-synchronous (depth 0) number goes to stderr as a diagnostic, as do the
-per-stage host times, blocked per-call device times of the two per-frame
-jits, and a FLOP-based utilization estimate.
+The headline number is the PRODUCTION configuration: chunked stepping
+(GraphSLAMConfig.chunk_size > 0, models/chunk.py) in which B frames AND
+their split pipelines run in one device program per chunk and the host
+reads one packet per chunk.  The speculative and synchronous per-frame
+numbers go to stderr as diagnostics, as do honest AMORTIZED device times
+(hundreds of frames inside one executable — per-call blocked timing on the
+tunneled runtime measures the link, not the device) and a FLOP-based
+utilization estimate.
 
 The baseline divisor is the reference CI target regime (an unspecified CPU;
 the original ProSLAM paper reports well-above-real-time on desktop CPUs, so
@@ -137,41 +138,83 @@ def tracker_only_hz(acfg, tcfg):
     return count / (time.perf_counter() - t0)
 
 
-def stage_device_times(cam, images, acfg, tcfg):
-    """Blocked per-call device times of the two per-frame jits + FLOPs.
+def amortized_device_times(cam, left_all, right_all, acfg, tcfg,
+                           B=16, reps=32):
+    """Honest device cost per frame (VERDICT r3 item 2).
 
-    Every call blocks individually (a block-on-last loop under-reports on
-    the tunneled runtime — measured round 3)."""
-    left, right = images[0]
-    meas = adapt_stereo(left, right, acfg)
-    state = initial_state(4096)
-    state, _, _ = track_step(state, meas.points, meas.desc, meas.valid,
-                             cam, tcfg, "stereo")
-    jax.block_until_ready(state.T_lm_robot)
+    Per-call blocked timing on the tunneled runtime measures the ~25-45 ms
+    link round trip, not the device (round-3 bench printed exactly that).
+    Here ``reps`` repetitions of the B-frame frontend+tracker pipeline run
+    inside ONE executable (a lax.scan threading the tracker state, so no
+    iteration can be hoisted or overlapped away), the single result read
+    surfaces the whole computation, and wall / (reps*B) amortizes the one
+    dispatch+readback link to <0.1 ms/frame.  Mirrors the reference's
+    PROFILE_TIME per-stage discipline
+    (raw_data_preprocessor_stereo_projective.cpp:47-98) at device
+    granularity.  Returns (t_frame, t_tracker, t_adaptor, flops_per_step).
+    """
+    from srrg2_proslam_tpu.models.frontend import adapt_stereo_batch
 
-    def timed(fn, n=30):
-        jax.block_until_ready(fn())
+    a = left_all[:B]
+    b = right_all[:B]
+
+    def track_frames(state, pts, desc, valid):
+        def body(st, xs):
+            p, d, v = xs
+            st2, stats, _ = track_step(st, p, d, v, cam, tcfg, "stereo")
+            return st2, stats.num_inliers
+        return jax.lax.scan(body, state, (pts, desc, valid))[0]
+
+    @jax.jit
+    def populate(state, a, b):
+        meas = adapt_stereo_batch(a, b, acfg)
+        return track_frames(state, meas.points, meas.desc, meas.valid)
+
+    @jax.jit
+    def tracker_rep(state, pts, desc, valid):
+        def body(st, _):
+            return track_frames(st, pts, desc, valid), None
+        st, _ = jax.lax.scan(body, state, None, length=reps)
+        return st.T_lm_robot
+
+    @jax.jit
+    def pipeline_rep(state, a, b):
+        def body(st, i):
+            # the (i & 1) pixel perturbation forges a loop-carried data
+            # dependence so XLA cannot hoist the adaptor out of the scan
+            ai = a + (i & 1).astype(a.dtype)
+            meas = adapt_stereo_batch(ai, b, acfg)
+            return track_frames(st, meas.points, meas.desc, meas.valid), None
+        st, _ = jax.lax.scan(body, state,
+                             jnp.arange(reps, dtype=jnp.int32))
+        return st.T_lm_robot
+
+    meas0 = jax.jit(lambda a, b: adapt_stereo_batch(a, b, acfg))(a, b)
+    state = populate(initial_state(4096), a, b)
+    np.asarray(state.T_lm_robot)  # settle before timing
+
+    def timed(fn, *args):
+        np.asarray(fn(*args))     # compile + absorb first-read transition
         t0 = time.perf_counter()
-        for _ in range(n):
-            jax.block_until_ready(fn())
-        return (time.perf_counter() - t0) / n
+        np.asarray(fn(*args))     # ONE executable; the read consumes it
+        return (time.perf_counter() - t0) / (reps * B)
 
-    t_adapt = timed(lambda: adapt_stereo(left, right, acfg))
-    t_track = timed(lambda: track_step(
-        state, meas.points, meas.desc, meas.valid, cam, tcfg, "stereo"))
+    t_tracker = timed(tracker_rep, state, meas0.points, meas0.desc,
+                      meas0.valid)
+    t_frame = timed(pipeline_rep, state, a, b)
+    t_adaptor = max(t_frame - t_tracker, 0.0)
 
     flops = None
     try:
-        lowered = jax.jit(
-            lambda s, p, d, v: track_step(s, p, d, v, cam, tcfg, "stereo")
-        ).lower(state, meas.points, meas.desc, meas.valid)
-        cost = lowered.compile().cost_analysis()
+        cost = tracker_rep.lower(
+            state, meas0.points, meas0.desc, meas0.valid
+        ).compile().cost_analysis()
         if cost:
             cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-            flops = float(cost.get("flops", 0.0))
+            flops = float(cost.get("flops", 0.0)) / (reps * B)
     except Exception as e:  # cost analysis is best-effort per backend
         _err(f"cost_analysis unavailable: {e}")
-    return t_adapt, t_track, flops
+    return t_frame, t_tracker, t_adaptor, flops
 
 
 def main():
@@ -219,9 +262,11 @@ def main():
          f"({slam_s.num_maps} maps, {slam_s.num_closures} closures)")
     _err(report)
 
-    t_adapt, t_track, flops = stage_device_times(cam, images, acfg, tcfg)
-    _err(f"stage device time: adaptor {t_adapt * 1e3:.2f} ms, "
-         f"tracker {t_track * 1e3:.2f} ms per frame")
+    t_frame, t_track, t_adapt, flops = amortized_device_times(
+        cam, left_all, right_all, acfg, tcfg)
+    _err(f"device time (amortized, 512 frames per executable): "
+         f"frame pipeline {t_frame * 1e3:.2f} ms = adaptor "
+         f"{t_adapt * 1e3:.2f} + tracker {t_track * 1e3:.2f} ms/frame")
     if flops:
         achieved = flops / t_track
         _err(f"tracker step: {flops / 1e9:.2f} GFLOP -> "

@@ -1,33 +1,37 @@
-"""Chunked SLAM stepping: B frames per device program, status machine on device.
+"""Chunked SLAM stepping: B frames AND their split pipelines in ONE program.
 
-Motivation (measured, round 3): on a tunneled TPU every executable
+Motivation (measured, rounds 3-4): on a tunneled TPU every executable
 invocation and every host readback costs a ~25 ms round trip REGARDLESS of
-compute size — the per-frame jit cadence (adaptor + tracker + readback =
-3 round trips/frame) caps the whole system near 13-38 Hz even though the
-actual device compute is ~0.05-2 ms/frame.  The fix is architectural, and
-it is the right TPU shape even off the tunnel (launch overhead amortization,
-SURVEY.md §7.3 hard parts 4/6):
+compute size — any per-frame or per-split dispatch cadence caps the system
+far below the device's actual ~2 ms/frame compute.  The fix is
+architectural, and it is the right TPU shape even off the tunnel (launch
+overhead amortization, SURVEY.md §7.3 hard parts 4/6):
 
-  * ``image_chunk_op`` — ONE jit processes B frames: the batched
-    stereo/RGB-D adaptor over the chunk's images (grid-batched dense
-    BRIEF), then a ``lax.scan`` of the
-    fused tracker step, WITH the reference's per-frame status machine
-    (Initializing/Tracking/Lost, app_benchmark.cpp:123-178) and the
-    viewpoint splitting criterion (kitti.conf:542-550) evaluated ON DEVICE:
-    when a frame splits or loses tracking, the scan itself finishes the
-    local map (its arena is emitted in the per-frame ys) and restarts
-    tracking in a fresh arena — no host round trip, no speculation
-    rollback.  The host gets one [B, 28] packet per chunk.
-  * ``split_op`` — ONE jit per finished map runs everything the reference
-    does at a split (app_benchmark.cpp:136-161): budget selection + closure
-    database insert, the fused loop query + K-candidate validation,
-    closure-factor insertion for every ACCEPTED candidate (acceptance
-    gates evaluated on device), conditional global PGO, and the odometry
-    edge + new pose of the next map.  Its decision packet streams back for
-    deferred host consumption; only relocalization (rare) needs host
-    intervention.
-  * ``reloc_op`` — ONE jit rebuilds the tracker state inside a reloaded
-    old map (closure-correspondence merge + graph fixups).
+``fused_image_chunk_op`` / ``fused_meas_chunk_op`` — ONE jit per B frames:
+
+  * the batched stereo/RGB-D adaptor over the chunk's images (grid-batched
+    dense BRIEF), then a ``lax.scan`` of the fused tracker step WITH the
+    reference's per-frame status machine (Initializing/Tracking/Lost,
+    app_benchmark.cpp:123-178) and the viewpoint splitting criterion
+    (kitti.conf:542-550) evaluated ON DEVICE;
+  * a post-scan split pass (``lax.fori_loop`` over the chunk's frames,
+    each split gated by ``lax.cond`` so splitless chunks pay nothing):
+    everything the reference does when a local map finishes
+    (app_benchmark.cpp:136-161) — new-map pose + odometry factor with map
+    ids as DEVICE counters, budget selection + closure-database insert,
+    the fused loop query + K-candidate validation under the exact
+    kitti.conf acceptance gates, closure-factor insertion, and conditional
+    global PGO — runs inside the SAME program;
+  * the host reads ONE flat f32 packet per chunk carrying the per-frame
+    status rows and, per split, the complete deferred decision (map ids,
+    edge cursor, db insert report, K validation rows).  No per-split
+    dispatch, no second readback: the round-3 ``split_op`` chain
+    (~40 ms/link × ~21 splits) is gone.
+
+Relocalization (rare) stays host-arbitrated: the decision rows ride the
+chunk packet, and on acceptance the orchestrator replays the chunk from its
+stored input refs with ``hi = finish + 1`` (bit-identical device carries at
+the split) and runs ``reloc_op`` — one extra dispatch per relocalization.
 
 Frame-level math is IDENTICAL to models/tracker.track_step driven by the
 synchronous orchestrator — pinned by tests/test_chunked.py equivalence.
@@ -40,8 +44,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..utils import config as cfg
-from ..ops import se3
 from ..ops import pgo
 from ..ops.pinhole import Camera
 from . import landmarks as lm
@@ -70,14 +72,58 @@ FINISH_NONE = 0.0
 FINISH_SPLIT = 1.0
 FINISH_LOST = 2.0
 
+# ---------------------------------------------------------------------------
+# per-frame split-meta layout ([SM_CP + 22K] f32, appended to the packet)
+# ---------------------------------------------------------------------------
+SM_DID = 0        # 1.0 when this frame finished a local map
+SM_PREV = 1       # id of the finished map
+SM_NEW = 2        # id of the map opened after it
+SM_ODO = 3        # edge slot of the odometry factor prev -> new
+SM_EDGES = 4      # edge count AFTER this split (odometry + closure factors)
+SM_DBN = 5        # budget-selected descriptor rows of the finished map
+SM_INS = 6        # 1.0 when those rows were inserted into the database
+SM_DBFULL = 7     # 1.0 when insertion was SKIPPED for lack of capacity
+SM_DBSIZE = 8     # database size after this split
+SM_CP = 9         # then K rows of 22 (loop_closure.detect_and_validate)
+
+
+def split_meta_size(max_candidates: int) -> int:
+    return SM_CP + 22 * max_candidates
+
+
+class ChunkCarry(NamedTuple):
+    """Device-resident SLAM state threaded through the fused chunk ops."""
+
+    state: TrackerState
+    frames_in_map: jnp.ndarray   # [] int32
+    graph: pgo.PoseGraph
+    edge_count: jnp.ndarray      # [] int32
+    db: loop_closure.DescriptorDatabase
+    current_map: jnp.ndarray     # [] int32
+    num_maps: jnp.ndarray        # [] int32
+
 
 class ChunkYs(NamedTuple):
-    """Per-frame stacked outputs of one chunk (leading axis B)."""
+    """Per-chunk outputs. ``packet`` is the ONE host-read array; everything
+    else stays on device (mirrors slice it lazily, reloc replays use it)."""
 
-    packets: jnp.ndarray       # [B, PACKET_SIZE] f32
+    packet: jnp.ndarray        # [B*(PACKET_SIZE + SM)] flat f32
     arenas: lm.LandmarkArena   # [B, ...] post-update (pre-reset) arenas
     match_idx: jnp.ndarray     # [B, N] int32 (local BA / diagnostics)
     match_mask: jnp.ndarray    # [B, N] bool
+    split_desc: jnp.ndarray    # [B, budget, 256] i8 db rows of finished maps
+    split_pos: jnp.ndarray     # [B, budget, 3]
+    split_rows: jnp.ndarray    # [B, budget] i32 arena rows
+    loop_row: jnp.ndarray      # [B, K, Q] i32 closure corresp. (reloc)
+    loop_mask: jnp.ndarray     # [B, K, Q] bool
+    loop_T: jnp.ndarray        # [B, K, 4, 4] validated closure transforms
+
+
+class _ScanYs(NamedTuple):
+    packets: jnp.ndarray       # [B, PACKET_SIZE] f32
+    arenas: lm.LandmarkArena
+    match_idx: jnp.ndarray
+    match_mask: jnp.ndarray
 
 
 def _tree_select(pred, a, b):
@@ -129,7 +175,7 @@ def _scan_body(state: TrackerState, frames_in_map, pts, desc, valid, active,
         new_state.T_lm_robot[:3, :].reshape(12),
         new_state.velocity,
     ])
-    ys = ChunkYs(
+    ys = _ScanYs(
         packets=packet,
         arenas=new_state.arena,      # pre-reset: the finished map on finish
         match_idx=stats.match_idx,
@@ -138,12 +184,190 @@ def _scan_body(state: TrackerState, frames_in_map, pts, desc, valid, active,
     return next_state, next_fim, ys
 
 
+# ---------------------------------------------------------------------------
+# post-scan split pass: the reference's split block, on device, per chunk
+# ---------------------------------------------------------------------------
+
+def _split_pass(graph: pgo.PoseGraph, edge_count, db, current_map, num_maps,
+                ys: _ScanYs, chunk_size: int,
+                loop_cfg: loop_closure.LoopDetectorConfig,
+                pgo_cfg: pgo.PGOConfig, budget: int, enable_loop: bool):
+    """Run the split pipeline for every frame that finished a local map.
+
+    Mirrors the reference top loop's split block
+    (app_benchmark.cpp:136-161): makeNewMap pose + odometry factor (map ids
+    are device counters), database insert (skipped — and reported — when
+    the database is full; the host evicts and rebuilds), loopDetect /
+    loopValidate (K candidates, acceptance gates kitti.conf:970-977),
+    closure factors for every accepted candidate, conditional global PGO.
+    The ``lax.fori_loop`` body compiles ONCE; ``lax.cond`` skips it at
+    runtime for frames without a finish.
+    """
+    B = chunk_size
+    K = loop_cfg.max_candidates
+    Q = ys.arenas.pos.shape[1]
+    E = graph.edge_capacity
+    num_maps_cap = graph.capacity
+    K_eff = min(K, num_maps_cap)
+    SM = split_meta_size(K)
+    eyeK = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4))
+    cpacket0 = jnp.zeros((K, 22), jnp.float32).at[:, 0].set(-1.0)
+    mrow0 = jnp.full((K, Q), -1, jnp.int32)
+    mmask0 = jnp.zeros((K, Q), bool)
+
+    def pad_k(a, template):
+        return (a if a.shape[0] == K
+                else jnp.concatenate([a, template[a.shape[0]:]], 0))
+
+    def split_branch(j, c):
+        (g, ec, db0, cur, nm, meta, sdesc, spos, srows,
+         lrow, lmask, lT) = c
+        pkt = ys.packets[j]
+        lost = pkt[PKT_FINISH] == FINISH_LOST
+        T_fin = jnp.concatenate([
+            pkt[PKT_T:PKT_T + 12].reshape(3, 4),
+            jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32),
+        ], 0)
+        arena = jax.tree_util.tree_map(lambda x: x[j], ys.arenas)
+        prev, new = cur, nm
+
+        # makeNewMap: pose chain + odometry factor (Z == T_fin by def.)
+        pose_new = g.poses[prev] @ T_fin
+        g = pgo.add_pose(g, new, pose_new)
+        odo_slot = ec
+        g = pgo.add_edge(g, odo_slot, prev, new, T_fin)
+        ec = ec + 1
+
+        # budget selection; the same rows feed the db insert and the mirror
+        desc_b, pts_b, rows_b, valid_b, n_b = loop_closure.select_db_rows(
+            arena.desc, arena.pos, arena.valid, arena.num_updates,
+            budget=budget)
+
+        if enable_loop:
+            already = jnp.any((db0.map_id == prev) & db0.valid)
+            room = db0.size + n_b <= db0.capacity
+            do_ins = (~already) & room
+            db1 = jax.lax.cond(
+                do_ins,
+                lambda d: loop_closure.add_local_map(
+                    d, desc_b, pts_b, valid_b, prev, rows_b),
+                lambda d: d, db0)
+            db_full = (~already) & (~room)
+
+            def with_loop(g, ec):
+                # query + validation on the FULL arena (budget-sized queries
+                # starve the vote count — measured round 3)
+                result, closures, cp = loop_closure.detect_and_validate(
+                    arena.desc, arena.valid, arena.pos, prev, db1,
+                    g.poses, loop_cfg, num_maps_cap)
+                accepted = closures.accepted & (result.candidate_maps >= 0)
+                offs = jnp.cumsum(accepted.astype(jnp.int32)) - 1
+                slot = jnp.where(accepted, ec + offs, E)
+
+                def pad(a):
+                    return jnp.concatenate(
+                        [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0)
+
+                g2 = g._replace(
+                    edge_i=pad(g.edge_i).at[slot].set(
+                        result.candidate_maps)[:E],
+                    edge_j=pad(g.edge_j).at[slot].set(
+                        jnp.int32(prev))[:E],
+                    edge_Z=pad(g.edge_Z).at[slot].set(
+                        closures.T_query_in_ref)[:E],
+                    edge_weight=pad(g.edge_weight).at[slot].set(1.0)[:E],
+                    edge_valid=pad(g.edge_valid).at[slot].set(True)[:E],
+                )
+                ec2 = ec + jnp.sum(accepted)
+                g2 = jax.lax.cond(
+                    jnp.any(accepted),
+                    lambda gg: pgo.optimize(gg, pgo_cfg)[0],
+                    lambda gg: gg, g2)
+                return (g2, ec2, pad_k(cp, cpacket0),
+                        pad_k(result.match_row, mrow0),
+                        pad_k(result.match_mask, mmask0),
+                        pad_k(closures.T_query_in_ref, eyeK))
+
+            def without_loop(g, ec):
+                return g, ec, cpacket0, mrow0, mmask0, eyeK
+
+            do_loop = (~lost) & (nm >= 2)
+            g, ec, cp, mrow, mmask, mT = jax.lax.cond(
+                do_loop, with_loop, without_loop, g, ec)
+        else:
+            db1 = db0
+            do_ins = jnp.bool_(False)
+            db_full = jnp.bool_(False)
+            cp, mrow, mmask, mT = cpacket0, mrow0, mmask0, eyeK
+
+        head = jnp.stack([
+            jnp.float32(1.0),
+            prev.astype(jnp.float32), new.astype(jnp.float32),
+            odo_slot.astype(jnp.float32), ec.astype(jnp.float32),
+            n_b.astype(jnp.float32), do_ins.astype(jnp.float32),
+            db_full.astype(jnp.float32), db1.size.astype(jnp.float32),
+        ])
+        meta = meta.at[j].set(jnp.concatenate([head, cp.reshape(-1)]))
+        return (g, ec, db1, new, nm + 1,
+                meta, sdesc.at[j].set(desc_b), spos.at[j].set(pts_b),
+                srows.at[j].set(rows_b), lrow.at[j].set(mrow),
+                lmask.at[j].set(mmask), lT.at[j].set(mT))
+
+    def body(j, c):
+        pkt = ys.packets[j]
+        do = (pkt[PKT_FINISH] > 0.5) & (pkt[PKT_ACTIVE] > 0.5)
+        return jax.lax.cond(do, lambda cc: split_branch(j, cc),
+                            lambda cc: cc, c)
+
+    init = (
+        graph, edge_count, db, current_map, num_maps,
+        jnp.zeros((B, SM), jnp.float32),
+        jnp.full((B, budget, lm.DESC_BITS), -1, jnp.int8),
+        jnp.zeros((B, budget, 3), jnp.float32),
+        jnp.zeros((B, budget), jnp.int32),
+        jnp.full((B, K, Q), -1, jnp.int32),
+        jnp.zeros((B, K, Q), bool),
+        jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, K, 4, 4)),
+    )
+    return jax.lax.fori_loop(0, B, body, init)
+
+
+def _fused_chunk(carry: ChunkCarry, pts, desc, valid, lo, hi,
+                 cam: Camera, tcfg: TrackerConfig, model: str,
+                 min_track_inliers: int, max_translation: float,
+                 max_rotation: float,
+                 loop_cfg: loop_closure.LoopDetectorConfig,
+                 pgo_cfg: pgo.PGOConfig, budget: int, enable_loop: bool):
+    def body(c, xs):
+        st, fim, idx = c
+        p, d, v = xs
+        active = (idx >= lo) & (idx < hi)
+        st2, fim2, ys = _scan_body(
+            st, fim, p, d, v, active, cam, tcfg, model,
+            min_track_inliers, max_translation, max_rotation)
+        return (st2, fim2, idx + 1), ys
+
+    (state, fim, _), ys = jax.lax.scan(
+        body, (carry.state, carry.frames_in_map, jnp.int32(0)),
+        (pts, desc, valid))
+    B = pts.shape[0]
+    (graph, ec, db, cur, nm, meta, sdesc, spos, srows, lrow, lmask, lT) = \
+        _split_pass(carry.graph, carry.edge_count, carry.db,
+                    carry.current_map, carry.num_maps, ys, B,
+                    loop_cfg, pgo_cfg, budget, enable_loop)
+    flat = jnp.concatenate([ys.packets.reshape(-1), meta.reshape(-1)])
+    out_carry = ChunkCarry(state, fim, graph, ec, db, cur, nm)
+    out_ys = ChunkYs(flat, ys.arenas, ys.match_idx, ys.match_mask,
+                     sdesc, spos, srows, lrow, lmask, lT)
+    return out_carry, out_ys
+
+
 @partial(jax.jit, static_argnames=(
     "cam", "acfg", "tcfg", "model", "chunk_size", "min_track_inliers",
-    "max_translation", "max_rotation"))
-def image_chunk_op(
-    state: TrackerState,
-    frames_in_map,          # [] int32 device scalar (carried across chunks)
+    "max_translation", "max_rotation", "loop_cfg", "pgo_cfg", "budget",
+    "enable_loop"))
+def fused_image_chunk_op(
+    carry: ChunkCarry,
     a_all: jnp.ndarray,     # [T, H, W] left / intensity image sequence
     b_all: jnp.ndarray,     # [T, H, W] right / raw-depth image sequence
     start,                  # [] int32: first frame of this chunk in a_all
@@ -157,13 +381,17 @@ def image_chunk_op(
     min_track_inliers: int,
     max_translation: float,
     max_rotation: float,
+    loop_cfg: loop_closure.LoopDetectorConfig,
+    pgo_cfg: pgo.PGOConfig,
+    budget: int,
+    enable_loop: bool,
 ):
-    """B frames in one device program: vmapped adaptor + scanned tracker.
+    """B frames + their splits in one device program (image front end).
 
     ``lo``/``hi`` implement replay (relocalization restart mid-chunk) and
     the padded final chunk without recompilation: frames outside [lo, hi)
     pass the carry through untouched and are flagged inactive in their
-    packet.  Returns (state', frames_in_map', ChunkYs).
+    packet.  Returns (ChunkCarry', ChunkYs).
     """
     B = chunk_size
     a = jax.lax.dynamic_slice_in_dim(a_all, start, B, 0)
@@ -174,29 +402,18 @@ def image_chunk_op(
         meas = adapt_stereo_batch(a, b, acfg)
     else:
         meas = adapt_rgbd_batch(a, b, acfg)
-
-    def body(carry, xs):
-        st, fim, idx = carry
-        pts, desc, valid = xs
-        active = (idx >= lo) & (idx < hi)
-        st2, fim2, ys = _scan_body(
-            st, fim, pts, desc, valid, active, cam, tcfg, model,
-            min_track_inliers, max_translation, max_rotation)
-        return (st2, fim2, idx + 1), ys
-
-    (state, frames_in_map, _), ys = jax.lax.scan(
-        body, (state, frames_in_map, jnp.int32(0)),
-        (meas.points, meas.desc, meas.valid),
-    )
-    return state, frames_in_map, ys
+    return _fused_chunk(carry, meas.points, meas.desc, meas.valid, lo, hi,
+                        cam, tcfg, model, min_track_inliers,
+                        max_translation, max_rotation, loop_cfg, pgo_cfg,
+                        budget, enable_loop)
 
 
 @partial(jax.jit, static_argnames=(
     "cam", "tcfg", "model", "chunk_size", "min_track_inliers",
-    "max_translation", "max_rotation"))
-def meas_chunk_op(
-    state: TrackerState,
-    frames_in_map,
+    "max_translation", "max_rotation", "loop_cfg", "pgo_cfg", "budget",
+    "enable_loop"))
+def fused_meas_chunk_op(
+    carry: ChunkCarry,
     points_all: jnp.ndarray,    # [T, N, D] pre-adapted measurement sequence
     desc_all: jnp.ndarray,      # [T, N, 256]
     valid_all: jnp.ndarray,     # [T, N]
@@ -208,142 +425,19 @@ def meas_chunk_op(
     min_track_inliers: int,
     max_translation: float,
     max_rotation: float,
+    loop_cfg: loop_closure.LoopDetectorConfig,
+    pgo_cfg: pgo.PGOConfig,
+    budget: int,
+    enable_loop: bool,
 ):
-    """Chunk over pre-adapted measurement sequences (synthetic / test path)."""
+    """Fused chunk over pre-adapted measurement sequences (synthetic/tests)."""
     B = chunk_size
     pts = jax.lax.dynamic_slice_in_dim(points_all, start, B, 0)
     desc = jax.lax.dynamic_slice_in_dim(desc_all, start, B, 0)
     valid = jax.lax.dynamic_slice_in_dim(valid_all, start, B, 0)
-
-    def body(carry, xs):
-        st, fim, idx = carry
-        p, d, v = xs
-        active = (idx >= lo) & (idx < hi)
-        st2, fim2, ys = _scan_body(
-            st, fim, p, d, v, active, cam, tcfg, model,
-            min_track_inliers, max_translation, max_rotation)
-        return (st2, fim2, idx + 1), ys
-
-    (state, frames_in_map, _), ys = jax.lax.scan(
-        body, (state, frames_in_map, jnp.int32(0)), (pts, desc, valid),
-    )
-    return state, frames_in_map, ys
-
-
-# ---------------------------------------------------------------------------
-# split op: everything the reference does when a local map finishes
-# ---------------------------------------------------------------------------
-
-class SplitResult(NamedTuple):
-    graph: pgo.PoseGraph
-    edge_count: jnp.ndarray      # [] int32 (device-threaded edge cursor)
-    db: loop_closure.DescriptorDatabase
-    packet: jnp.ndarray          # [2 + K*22] f32 decision packet
-    finished_arena: lm.LandmarkArena   # the closed map (relocalizer store)
-    query_arena: lm.LandmarkArena      # its budget-compacted db view
-    db_rows: jnp.ndarray         # [budget] int32 compacted arena rows
-    db_n: jnp.ndarray            # [] int32
-    match_row: jnp.ndarray       # [K, Q] closure corresp. (reloc)
-    match_mask: jnp.ndarray      # [K, Q]
-    T_candidates: jnp.ndarray    # [K, 4, 4]
-
-
-@partial(jax.jit, static_argnames=(
-    "loop_cfg", "pgo_cfg", "budget", "num_maps_cap", "do_loop", "insert_db"))
-def split_op(
-    graph: pgo.PoseGraph,
-    edge_count,                  # [] int32 device scalar
-    arenas: lm.LandmarkArena,    # [B, ...] chunk ys arenas
-    j,                           # [] int32 chunk-frame index of the finish
-    T_finish: jnp.ndarray,       # [4, 4] robot-in-finished-map at the finish
-    prev_map,                    # finished map id (int)
-    new_map,                     # id of the map opened after it (int)
-    db: loop_closure.DescriptorDatabase,
-    loop_cfg: loop_closure.LoopDetectorConfig,
-    pgo_cfg: pgo.PGOConfig,
-    budget: int,
-    num_maps_cap: int,
-    do_loop: bool,
-    insert_db: bool,
-) -> SplitResult:
-    """Close local map ``prev_map`` and open ``new_map`` — one dispatch.
-
-    Mirrors the split block of the reference top loop
-    (app_benchmark.cpp:136-161): database insert, loopDetect/loopValidate
-    (K candidates, device-evaluated acceptance gates kitti.conf:970-977),
-    closure factors for every accepted candidate, conditional global PGO,
-    makeNewMap pose + odometry factor.  The host reads only ``packet``
-    (deferred): [edge_count_after, db_rows_inserted, then per candidate
-    the 22-float decision row of loop_closure.detect_and_validate].
-    """
-    arena = jax.tree_util.tree_map(lambda x: x[j], arenas)
-
-    # makeNewMap: pose chain + odometry factor (Z == T_finish by def.)
-    pose_new = graph.poses[prev_map] @ T_finish
-    graph = pgo.add_pose(graph, new_map, pose_new)
-    graph = pgo.add_edge(graph, edge_count, prev_map, new_map, T_finish)
-    edge_count = edge_count + 1
-
-    compact, rows_b, n_b = loop_closure.compact_arena(arena, budget)
-    if insert_db:
-        db = loop_closure.add_local_map(
-            db, compact.desc, compact.pos, compact.valid, prev_map, rows_b)
-
-    K = loop_cfg.max_candidates
-    if do_loop:
-        # query + validation run on the FULL arena (compaction only feeds
-        # the db insert: budget-sized queries starve the vote count and
-        # measured no speedup — the split op is not the pipeline's cost)
-        result, closures, cpacket = loop_closure.detect_and_validate(
-            arena.desc, arena.valid, arena.pos, prev_map, db,
-            graph.poses, loop_cfg, num_maps_cap)
-        accepted = closures.accepted & (result.candidate_maps >= 0)
-        # closure factors for every accepted candidate, scattered after the
-        # odometry edge (cand -> prev_map, Z = T_query_in_ref)
-        offs = jnp.cumsum(accepted.astype(jnp.int32)) - 1
-        slot = jnp.where(accepted, edge_count + offs, graph.edge_capacity)
-
-        def pad(a):
-            return jnp.concatenate(
-                [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0)
-
-        E = graph.edge_capacity
-        graph = graph._replace(
-            edge_i=pad(graph.edge_i).at[slot].set(
-                result.candidate_maps)[:E],
-            edge_j=pad(graph.edge_j).at[slot].set(jnp.int32(prev_map))[:E],
-            edge_Z=pad(graph.edge_Z).at[slot].set(closures.T_query_in_ref)[:E],
-            edge_weight=pad(graph.edge_weight).at[slot].set(1.0)[:E],
-            edge_valid=pad(graph.edge_valid).at[slot].set(True)[:E],
-        )
-        edge_count = edge_count + jnp.sum(accepted)
-        graph = jax.lax.cond(
-            jnp.any(accepted),
-            lambda g: pgo.optimize(g, pgo_cfg)[0],
-            lambda g: g,
-            graph,
-        )
-        match_row, match_mask = result.match_row, result.match_mask
-        T_candidates = closures.T_query_in_ref
-    else:
-        Q = arena.capacity
-        cpacket = jnp.zeros((K, 22), jnp.float32).at[:, 0].set(-1.0)
-        match_row = jnp.full((K, Q), -1, jnp.int32)
-        match_mask = jnp.zeros((K, Q), bool)
-        T_candidates = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
-                                        (K, 4, 4))
-
-    packet = jnp.concatenate([
-        jnp.stack([edge_count.astype(jnp.float32),
-                   n_b.astype(jnp.float32)]),
-        cpacket.reshape(-1),
-    ])
-    return SplitResult(
-        graph=graph, edge_count=edge_count, db=db, packet=packet,
-        finished_arena=arena, query_arena=compact,
-        db_rows=rows_b, db_n=n_b, match_row=match_row,
-        match_mask=match_mask, T_candidates=T_candidates,
-    )
+    return _fused_chunk(carry, pts, desc, valid, lo, hi, cam, tcfg, model,
+                        min_track_inliers, max_translation, max_rotation,
+                        loop_cfg, pgo_cfg, budget, enable_loop)
 
 
 # ---------------------------------------------------------------------------

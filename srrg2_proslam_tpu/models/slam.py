@@ -166,27 +166,20 @@ class _ClosureMarker:
 
 
 class _ChunkEntry(NamedTuple):
-    """A dispatched-but-unconsumed chunk (chunked mode, models/chunk.py)."""
+    """A dispatched-but-unconsumed chunk (chunked mode, models/chunk.py).
+
+    ``inputs`` holds the immutable pre-chunk device carries: a
+    relocalization decision (read from the chunk's own packet) replays the
+    chunk from them with ``hi = finish + 1`` to recover the device state
+    exactly at the split — the only rollback mechanism the fused design
+    needs, since all host bookkeeping for the rolled-back frames is simply
+    never performed."""
 
     ys: object        # chunk_ops.ChunkYs device refs
+    inputs: object    # chunk_ops.ChunkCarry BEFORE this chunk
     start: int        # first global frame of the chunk
     lo: int
     hi: int
-
-
-class _ChunkMarker:
-    """Deferred split-op decision packet (chunked mode).
-
-    Unlike the per-frame _ClosureMarker, chunk markers do NOT gate record
-    consumption: closure factors/PGO already ran on device inside split_op;
-    the host only counts closures and — on relocalization — rolls the run
-    back to the finish frame via immutable device refs stored here."""
-
-    __slots__ = (
-        "res", "old_map", "new_map", "num_maps_at", "pre_edge_count",
-        "fin_global", "frame_index", "timestamp", "T_split", "velocity",
-        "chunks_at",
-    )
 
 
 class GraphSLAM:
@@ -221,13 +214,13 @@ class GraphSLAM:
         self._queue = deque()
         # chunked pipeline (config.chunk_size > 0, models/chunk.py)
         self._cqueue = deque()
-        self._pending_markers: list = []
         self._chunks_consumed = 0
         self._seq = None          # active sequence: dict(kind, arrays, ts, T)
         self._seq_cursor = 0
         self._seq_lo = 0
-        self._fim_dev = None      # device mirrors (created at sequence start)
-        self._edge_count_dev = None
+        self._carry = None        # chunk_ops.ChunkCarry (sequence-scoped)
+        self._db_dirty = False    # a chunk reported a skipped-for-capacity
+                                  # db insert: evict + rebuild at a safe point
         # device references to finalized local-map arenas, indexed by map
         # id — the store the relocalizer reloads from (the reference keeps
         # every local map alive in its graph; we keep the immutable device
@@ -300,6 +293,8 @@ class GraphSLAM:
         n = entry.get("_n")
         if n is None:
             return entry["desc"].shape[0]  # materialized numpy entry
+        if isinstance(n, int):
+            return n                       # fused-chunk entry: count is free
         if exact:
             return int(np.asarray(n))
         return self.config.max_db_descriptors_per_map
@@ -561,6 +556,8 @@ class GraphSLAM:
         try:
             self._drain(0, force=True)
             self._drain_chunk_queue(0, force=True)
+            if self._db_dirty:
+                self._evict_and_rebuild_db()
         finally:
             self._draining = False
 
@@ -809,14 +806,28 @@ class GraphSLAM:
         if self.num_maps == 0:
             self._make_new_map(se3.identity())
             self.status = INITIALIZING
-        self._fim_dev = jnp.int32(self._frames_in_current_map)
-        self._edge_count_dev = jnp.int32(self.num_edges)
+        self._carry = chunk_ops.ChunkCarry(
+            state=self.tracker_state,
+            frames_in_map=jnp.int32(self._frames_in_current_map),
+            graph=self.graph,
+            edge_count=jnp.int32(self.num_edges),
+            db=self.db,
+            current_map=jnp.int32(self.current_map),
+            num_maps=jnp.int32(self.num_maps),
+        )
 
     def _run_sequence(self):
         B = self.config.chunk_size
         T = self._seq["T"]
-        while self._seq_cursor < T or self._cqueue or self._pending_markers:
+        while self._seq_cursor < T or self._cqueue:
             if self._seq_cursor < T:
+                self._ensure_chunk_capacity()
+                if self._db_dirty:
+                    # a consumed chunk reported a skipped db insert: bring
+                    # the mirror up to date, then evict + rebuild
+                    self._drain_chunk_queue(0, force=True)
+                    self._evict_and_rebuild_db()
+                    continue  # a reloc during the drain may rewind the cursor
                 start = self._seq_cursor
                 lo = self._seq_lo
                 self._seq_lo = 0
@@ -827,46 +838,69 @@ class GraphSLAM:
                 # tail: force-consume everything; a relocalization here can
                 # rewind the cursor, re-entering the dispatch branch
                 self._drain_chunk_queue(0, force=True)
+        if self._db_dirty:
+            self._evict_and_rebuild_db()
         self._seq = None
 
-    def _dispatch_chunk(self, start: int, lo: int, hi: int):
+    def _invoke_chunk(self, carry, start: int, lo: int, hi: int):
+        """One fused chunk-op call (dispatch or deterministic reloc replay)."""
         seq = self._seq
-        sp = self.config.splitting
+        config = self.config
+        sp = config.splitting
+        common = (
+            self.config.tracker, self.model, config.chunk_size,
+            config.min_track_inliers,
+            sp.maximum_translation_m, sp.maximum_rotation_rad,
+            config.loop, config.pgo, config.max_db_descriptors_per_map,
+            config.enable_loop_closing,
+        )
+        if seq["kind"] == "images":
+            return chunk_ops.fused_image_chunk_op(
+                carry, seq["a"], seq["b"], start, lo, hi, self.cam,
+                seq["acfg"], *common)
+        return chunk_ops.fused_meas_chunk_op(
+            carry, seq["a"], seq["b"], seq["c"], start, lo, hi, self.cam,
+            *common)
+
+    def _dispatch_chunk(self, start: int, lo: int, hi: int):
+        inputs = self._carry
         with profile_time("chunk_dispatch"):
-            if seq["kind"] == "images":
-                state, fim, ys = chunk_ops.image_chunk_op(
-                    self.tracker_state, self._fim_dev, seq["a"], seq["b"],
-                    start, lo, hi, self.cam, seq["acfg"],
-                    self.config.tracker, self.model, self.config.chunk_size,
-                    self.config.min_track_inliers,
-                    sp.maximum_translation_m, sp.maximum_rotation_rad)
-            else:
-                state, fim, ys = chunk_ops.meas_chunk_op(
-                    self.tracker_state, self._fim_dev, seq["a"], seq["b"],
-                    seq["c"], start, lo, hi, self.cam, self.config.tracker,
-                    self.model, self.config.chunk_size,
-                    self.config.min_track_inliers,
-                    sp.maximum_translation_m, sp.maximum_rotation_rad)
-        self.tracker_state = state
-        self._fim_dev = fim
-        self._cqueue.append(_ChunkEntry(ys=ys, start=start, lo=lo, hi=hi))
+            carry, ys = self._invoke_chunk(inputs, start, lo, hi)
+        ys.packet.copy_to_host_async()
+        self._carry = carry
+        # keep the public attributes pointing at the freshest device refs
+        # (accessors flush + read them)
+        self.tracker_state = carry.state
+        self.graph = carry.graph
+        self.db = carry.db
+        self._cqueue.append(_ChunkEntry(ys=ys, inputs=inputs, start=start,
+                                        lo=lo, hi=hi))
 
     def _drain_chunk_queue(self, lag: int, force: bool = False):
         while self._cqueue and (force or len(self._cqueue) > lag):
             entry = self._cqueue.popleft()
             self._consume_chunk(entry)
             self._chunks_consumed += 1
-            self._consume_due_markers(force=False)
-        self._consume_due_markers(force=force)
 
     def _consume_chunk(self, entry: _ChunkEntry):
-        """Host mirror of the on-device status machine + frame records."""
+        """Mirror the on-device status machine, splits and closure decisions.
+
+        ONE packet read per chunk: the per-frame status rows AND the
+        per-split decisions (which ran inside the same device program)
+        arrive together — there is no separate split dispatch or decision
+        readback to wait for.
+        """
         config = self.config
-        with profile_time("status_readback"):
-            pkt = np.asarray(entry.ys.packets)
-        ts_all = self._seq["ts"]
         P = chunk_ops
-        for i in range(pkt.shape[0]):
+        B = config.chunk_size
+        K = config.loop.max_candidates
+        SM = P.split_meta_size(K)
+        with profile_time("chunk_readback"):
+            flat = np.asarray(entry.ys.packet)
+        pkt = flat[:B * P.PACKET_SIZE].reshape(B, P.PACKET_SIZE)
+        meta = flat[B * P.PACKET_SIZE:].reshape(B, SM)
+        ts_all = self._seq["ts"]
+        for i in range(B):
             row = pkt[i]
             if row[P.PKT_ACTIVE] < 0.5:
                 continue
@@ -884,87 +918,149 @@ class GraphSLAM:
                 T_rec[:3, :] = row[P.PKT_T:P.PKT_T + 12].reshape(3, 4)
                 self.frames.append(FrameRecord(
                     ts_all[g], self.current_map, T_rec))
-            else:
-                with profile_time("split"):
-                    self._chunk_finish(entry, i, g, row,
-                                       lost=fin == P.FINISH_LOST)
-                self.frames.append(FrameRecord(
-                    ts_all[g], self.current_map,
-                    np.eye(4, dtype=np.float32)))
-                if fin == P.FINISH_LOST:
-                    self.num_losses += 1
-                    self.status = TRACKING
-                self._frames_in_current_map = 0
+                self._frame_count += 1
+                continue
+            # device-detected finish: mirror the split the op already ran
+            sm = meta[i]
+            prev, new = int(sm[P.SM_PREV]), int(sm[P.SM_NEW])
+            self._map_arenas[prev] = jax.tree_util.tree_map(
+                lambda x: x[i], entry.ys.arenas)
+            if sm[P.SM_INS] > 0.5 or sm[P.SM_DBFULL] > 0.5:
+                # DBFULL entries are mirrored too: the op skipped their
+                # insert, and the rebuild below restores their recall
+                self._db_entries[prev] = dict(
+                    desc=entry.ys.split_desc[i],
+                    points=entry.ys.split_pos[i],
+                    rows=entry.ys.split_rows[i],
+                    _n=int(sm[P.SM_DBN]),
+                )
+            if sm[P.SM_DBFULL] > 0.5:
+                self._db_dirty = True
+            self.num_edges = int(sm[P.SM_EDGES])
+            self.num_maps = new + 1
+            self.current_map = new
+            self._frames_in_current_map = 0
+            self.frames.append(FrameRecord(
+                ts_all[g], self.current_map, np.eye(4, dtype=np.float32)))
             self._frame_count += 1
+            if fin == P.FINISH_LOST:
+                self.num_losses += 1
+                self.status = TRACKING
+            # closure decision: rode the SAME packet as the split
+            cp = sm[P.SM_CP:].reshape(K, 22)
+            accepted = [k for k in range(K)
+                        if cp[k, 1] > 0.5 and cp[k, 0] >= 0]
+            if not accepted:
+                continue
+            self.num_closures += len(accepted)
+            for k in accepted:
+                self.closure_events.append((int(cp[k, 0]), prev))
+            best_k = max(accepted, key=lambda k: cp[k, 2])
+            brow = cp[best_k]
+            if self._reloc_gates(brow):
+                with profile_time("reloc"):
+                    self._fused_relocalize(
+                        entry, i, g, best_k, int(brow[0]),
+                        brow[6:22].reshape(4, 4).astype(np.float32),
+                        row, sm)
+                return  # rest of this chunk (and queue) is rolled back
 
-    def _chunk_finish(self, entry: _ChunkEntry, i: int, g: int,
-                      row: np.ndarray, lost: bool):
-        """Dispatch the fused split op for a device-detected map finish."""
+    def _fused_relocalize(self, entry: _ChunkEntry, i: int, g: int, k: int,
+                          cand: int, T_k: np.ndarray, row: np.ndarray,
+                          sm: np.ndarray):
+        """Reload old map ``cand``: replay the chunk to the finish, merge.
+
+        The decision arrived in the finish frame's own chunk packet, so no
+        host bookkeeping exists past the finish yet — rollback is simply
+        (a) dropping the not-yet-consumed queue, (b) replaying this chunk
+        from its stored input carries with ``hi = finish + 1`` (bit-exact
+        device state at the split, including its closure factors and PGO),
+        (c) ``reloc_op``, (d) rewinding the sequence cursor so the frames
+        after the finish re-dispatch against the reloaded map.
+        """
         config = self.config
-        old = self.current_map
-        new_map = self.num_maps
-        if new_map >= self.graph.capacity:
-            self.graph = pgo.grow(self.graph, 2 * self.graph.capacity,
-                                  self.graph.edge_capacity)
-        K = config.loop.max_candidates
-        edges_upper = (self.num_edges + 1 + K
-                       + K * len(self._pending_markers))
-        if edges_upper >= self.graph.edge_capacity:
-            self.graph = pgo.grow(self.graph, self.graph.capacity,
-                                  2 * self.graph.edge_capacity)
-        do_loop = ((not lost) and config.enable_loop_closing
-                   and self.num_maps >= 2)
-        insert_db = (config.enable_loop_closing
-                     and old not in self._db_entries)
-        if insert_db:
-            self._maybe_evict_db()
         P = chunk_ops
-        T_finish = np.eye(4, dtype=np.float32)
-        T_finish[:3, :] = row[P.PKT_T:P.PKT_T + 12].reshape(3, 4)
-        pre_edge_count = self._edge_count_dev
-        res = chunk_ops.split_op(
-            self.graph, self._edge_count_dev, entry.ys.arenas, i,
-            jnp.asarray(T_finish), old, new_map, self.db,
-            config.loop, config.pgo, config.max_db_descriptors_per_map,
-            self.graph.capacity, do_loop, insert_db,
+        self._cqueue.clear()
+        carry_fin, ys_fin = self._invoke_chunk(
+            entry.inputs, entry.start, entry.lo, i + 1)
+        T_split = np.eye(4, dtype=np.float32)
+        T_split[:3, :] = row[P.PKT_T:P.PKT_T + 12].reshape(3, 4)
+        velocity = row[P.PKT_VEL:P.PKT_VEL + 6].astype(np.float32)
+        ref_arena = jax.tree_util.tree_map(jnp.asarray,
+                                           self._map_arenas[cand])
+        query_arena = jax.tree_util.tree_map(lambda x: x[i], ys_fin.arenas)
+        graph, state = chunk_ops.reloc_op(
+            carry_fin.graph, ref_arena, query_arena, ys_fin.loop_T[i],
+            ys_fin.loop_row[i], ys_fin.loop_mask[i], jnp.int32(k),
+            jnp.asarray(T_split), jnp.asarray(velocity),
+            int(sm[P.SM_NEW]), int(sm[P.SM_ODO]),
+            config.closure_merge_max_insertions,
+            config.tracker.landmark_estimator,
         )
-        self.graph = res.graph
-        self._edge_count_dev = res.edge_count
-        self.db = res.db
-        self.num_edges += 1
-        self._map_arenas[old] = res.finished_arena
-        if insert_db:
-            self._db_entries[old] = dict(
-                desc=res.query_arena.desc, points=res.query_arena.pos,
-                rows=res.db_rows, _n=res.db_n,
-            )
-        self.num_maps += 1
-        self.current_map = new_map
-        if do_loop:
-            m = _ChunkMarker()
-            m.res = res
-            m.old_map = old
-            m.new_map = new_map
-            m.num_maps_at = self.num_maps
-            m.pre_edge_count = pre_edge_count
-            m.fin_global = g
-            m.frame_index = len(self.frames)
-            m.timestamp = self._seq["ts"][g]
-            m.T_split = T_finish
-            m.velocity = row[P.PKT_VEL:P.PKT_VEL + 6].astype(np.float32)
-            m.chunks_at = self._chunks_consumed
-            self._pending_markers.append(m)
+        self._carry = chunk_ops.ChunkCarry(
+            state=state, frames_in_map=jnp.int32(1), graph=graph,
+            edge_count=carry_fin.edge_count, db=carry_fin.db,
+            current_map=jnp.int32(cand), num_maps=carry_fin.num_maps,
+        )
+        self.tracker_state = state
+        self.graph = graph
+        self.db = carry_fin.db
+        self._map_arenas[cand] = state.arena
+        self.current_map = cand
+        self._frames_in_current_map = 1
+        self.num_relocalizations += 1
+        # the finish frame's record belongs to the reloaded map
+        self.frames[-1] = FrameRecord(
+            self._seq["ts"][g], cand, (T_k @ T_split).astype(np.float32))
+        # rewind the sequence cursor to the frame after the finish
+        B = config.chunk_size
+        gnext = g + 1
+        self._seq_cursor = (gnext // B) * B
+        self._seq_lo = gnext - self._seq_cursor
 
-    def _maybe_evict_db(self):
-        """Pre-insert capacity check (the insert itself runs in split_op)."""
-        budget = self.config.max_db_descriptors_per_map
-        total = sum(self._entry_count(e) for e in self._db_entries.values())
-        if total + budget <= self.db.capacity:
+    def _ensure_chunk_capacity(self):
+        """Pre-grow the pose graph so in-flight chunks can never overflow.
+
+        The bound is loose (every frame of every in-flight chunk could in
+        principle split); tripping it drains the queue for exact counts and
+        grows double-and-copy — a rare, recompiling event.
+        """
+        config = self.config
+        B = config.chunk_size
+        K = config.loop.max_candidates
+        inflight = len(self._cqueue) + 1
+        g = self._carry.graph
+        if (self.num_maps + inflight * B <= g.capacity
+                and self.num_edges + inflight * B * (1 + K)
+                <= g.edge_capacity):
             return
+        self._drain_chunk_queue(0, force=True)
+        g = self._carry.graph
+        pcap, ecap = g.capacity, g.edge_capacity
+        while self.num_maps + B > pcap:
+            pcap *= 2
+        while self.num_edges + B * (1 + K) > ecap:
+            ecap *= 2
+        if (pcap, ecap) != (g.capacity, g.edge_capacity):
+            print(f"[slam] growing pose graph to {pcap} poses / {ecap} "
+                  "edges (chunk op recompiles)")
+            self._carry = self._carry._replace(graph=pgo.grow(g, pcap, ecap))
+            self.graph = self._carry.graph
+
+    def _evict_and_rebuild_db(self):
+        """Evict the oldest maps and rebuild the device database.
+
+        Runs only when the queue is drained (mirror == device + the
+        skipped-insert entries), so the rebuild restores every map the
+        fused op could not insert.  Keeps headroom for a few in-flight
+        inserts before the next rebuild becomes necessary.
+        """
+        budget = self.config.max_db_descriptors_per_map
+        cap = self.db.capacity
+        headroom = min(4 * budget, cap // 2)
         total = sum(self._entry_count(e, exact=True)
                     for e in self._db_entries.values())
-        while (total + budget > self.db.capacity
-               and len(self._db_entries) > 1):
+        while total + headroom > cap and len(self._db_entries) > 1:
             oldest = next(iter(self._db_entries))
             total -= self._entry_count(self._db_entries[oldest], exact=True)
             del self._db_entries[oldest]
@@ -972,82 +1068,9 @@ class GraphSLAM:
             print(f"[slam] loop database full: evicted map {oldest} "
                   f"({self.num_db_evictions} evictions total)")
         self._rebuild_db()
-
-    def _consume_due_markers(self, force: bool):
-        """Consume split decision packets at least one chunk behind their
-        dispatch (the packet has long landed by then)."""
-        while self._pending_markers:
-            m = self._pending_markers[0]
-            if not force and self._chunks_consumed <= m.chunks_at + 1:
-                return
-            self._pending_markers.pop(0)
-            self._consume_chunk_marker(m)
-
-    def _consume_chunk_marker(self, m: _ChunkMarker):
-        with profile_time("closure_decision"):
-            pkt = np.asarray(m.res.packet)
-        K = self.config.loop.max_candidates
-        cp = pkt[2:].reshape(K, 22)
-        accepted = [k for k in range(K)
-                    if cp[k, 1] > 0.5 and cp[k, 0] >= 0]
-        if not accepted:
-            return
-        self.num_closures += len(accepted)
-        self.num_edges += len(accepted)
-        for k in accepted:
-            self.closure_events.append((int(cp[k, 0]), m.old_map))
-        best_k = max(accepted, key=lambda k: cp[k, 2])
-        row = cp[best_k]
-        if self._reloc_gates(row):
-            self._chunk_relocalize(
-                m, best_k, int(row[0]),
-                row[6:22].reshape(4, 4).astype(np.float32), int(pkt[0]))
-
-    def _chunk_relocalize(self, m: _ChunkMarker, k: int, cand: int,
-                          T_k: np.ndarray, edge_count_exact: int):
-        """Reload old map ``cand``: rewind to the finish frame and replay.
-
-        Device state rolls back to the immutable post-split refs stored in
-        the marker; host bookkeeping truncates to the finish frame; the
-        sequence cursor rewinds so ``_run_sequence`` re-dispatches the
-        following frames against the reloaded map.
-        """
-        config = self.config
-        self._cqueue.clear()
-        self._pending_markers.clear()
-        self.frames = self.frames[:m.frame_index]
-        self.db = m.res.db
-        self._edge_count_dev = m.res.edge_count
-        self.num_edges = edge_count_exact
-        for mid in list(self._map_arenas):
-            if mid >= m.num_maps_at:
-                del self._map_arenas[mid]
-        for mid in list(self._db_entries):
-            if mid >= m.num_maps_at:
-                del self._db_entries[mid]
-        self.num_maps = m.num_maps_at
-        ref_arena = jax.tree_util.tree_map(jnp.asarray,
-                                           self._map_arenas[cand])
-        self.graph, self.tracker_state = chunk_ops.reloc_op(
-            m.res.graph, ref_arena, m.res.finished_arena,
-            m.res.T_candidates, m.res.match_row, m.res.match_mask, k,
-            jnp.asarray(m.T_split), jnp.asarray(m.velocity),
-            m.new_map, m.pre_edge_count,
-            config.closure_merge_max_insertions,
-            config.tracker.landmark_estimator,
-        )
-        self._map_arenas[cand] = self.tracker_state.arena
-        self._fim_dev = jnp.int32(1)
-        self._frames_in_current_map = 1
-        self.current_map = cand
-        self.num_relocalizations += 1
-        self.frames.append(FrameRecord(
-            m.timestamp, cand, (T_k @ m.T_split).astype(np.float32)))
-        # rewind the sequence cursor to the frame after the finish
-        B = config.chunk_size
-        gnext = m.fin_global + 1
-        self._seq_cursor = (gnext // B) * B
-        self._seq_lo = gnext - self._seq_cursor
+        if self._carry is not None:
+            self._carry = self._carry._replace(db=self.db)
+        self._db_dirty = False
 
     # ------------------------------------------------------------------
     # accessors (example_slam_3d.cpp:106-141 parity)
