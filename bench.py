@@ -206,12 +206,15 @@ def amortized_device_times(cam, left_all, right_all, acfg, tcfg,
 
     flops = None
     try:
-        cost = tracker_rep.lower(
-            state, meas0.points, meas0.desc, meas0.valid
-        ).compile().cost_analysis()
+        # FLOPs from the SINGLE-step lowering (XLA's cost analysis counts a
+        # scan body once, so dividing the rep-op's count misreports)
+        p0 = jax.tree_util.tree_map(lambda x: x[0], meas0)
+        cost = jax.jit(
+            lambda s, p, d, v: track_step(s, p, d, v, cam, tcfg, "stereo")
+        ).lower(state, p0.points, p0.desc, p0.valid).compile().cost_analysis()
         if cost:
             cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-            flops = float(cost.get("flops", 0.0)) / (reps * B)
+            flops = float(cost.get("flops", 0.0))
     except Exception as e:  # cost analysis is best-effort per backend
         _err(f"cost_analysis unavailable: {e}")
     return t_frame, t_tracker, t_adaptor, flops

@@ -17,13 +17,24 @@ syntax as the shipped ``.conf`` files — one per message:
 
 This module parses that structural format and reassembles synchronized
 stereo / RGB-D frames plus the camera model, so reference-converted logs
-drive the pipeline unmodified.  Image payloads: srrg2_core stores pixels as
-library-internal binary BLOBs; this reader accepts the ``image_file``
-indirection (payload stored as an ordinary image file next to the log, what
-:func:`write_boss_stereo` emits) and inline ``image_data`` nested uint8
-rows.  Binary-BLOB decoding of the exact srrg2_core layout is NOT
-re-implemented — logs must be written with file-referenced payloads (the
-converter flag does this), which the round-trip test pins.
+drive the pipeline unmodified.  Image payloads, in order of preference:
+
+  * **srrg2 binary BLOBs** — the format the reference's own converters
+    emit (convert_stereo_to_srrg2.cpp:129-135 serializes ``ImageUInt8``
+    payloads through the srrg2_core BOSS ``Serializer``): the JSON block
+    references the BLOB (a ``{"#pointer": id}`` object resolved through a
+    companion ``...BLOBReference`` block carrying the binary file name, or
+    directly a file-name string), and the pixel bytes live in the log's
+    ``<log>.d/`` binary directory.  The srrg2_core sources are not mounted
+    here, so the *header* of the binary layout cannot be pinned bit-exactly;
+    the decoder therefore extracts the pixel payload by GEOMETRY: the
+    message's ``image_rows``/``image_cols`` identify the trailing
+    ``rows*cols*bpp`` row-major block (bpp 1 = ImageUInt8, 2 = ImageUInt16
+    depth) regardless of what header precedes it — robust to header
+    variations while decoding exactly the payload the converter wrote.
+    Round-tripped by :func:`write_boss_stereo(..., image_format="blob")`.
+  * ``image_file`` indirection (ordinary image files next to the log);
+  * inline ``image_data`` nested rows.
 """
 from __future__ import annotations
 
@@ -119,14 +130,89 @@ def parse_boss_file(path: str) -> List[Tuple[str, dict]]:
 # message-level reassembly
 # ---------------------------------------------------------------------------
 
-def _load_image(payload: dict, base_dir: str) -> np.ndarray:
+#: keys under which an ImageMessage may reference its pixel payload
+_IMAGE_KEYS = ("image_data", "image", "data")
+
+
+def _blob_registry(objects) -> dict:
+    """Map ``#id`` -> payload dict for BLOB-reference resolution.
+
+    srrg2_core serializes a BLOB as an inline ``{"#pointer": id}`` in the
+    owning message plus a separate ``*BLOBReference`` block (same id)
+    naming the binary file inside the log's ``<log>.d/`` directory.
+    """
+    reg = {}
+    for _name, obj in objects:
+        if isinstance(obj, dict) and "#id" in obj:
+            reg[obj["#id"]] = obj
+    return reg
+
+
+def _blob_file_name(obj: dict):
+    """Binary payload file name from a BLOB-reference block (any key that
+    names a file; srrg2_core uses ``file_name``)."""
+    for key in ("file_name", "filename", "name", "path"):
+        v = obj.get(key)
+        if isinstance(v, str) and v:
+            return v
+    return None
+
+
+def _decode_image_blob(raw: bytes, rows: int, cols: int) -> np.ndarray:
+    """Pixels from an srrg2 binary image BLOB, by geometry.
+
+    The payload is the trailing row-major ``rows*cols*bpp`` block (bpp 1 =
+    ImageUInt8, 2 = ImageUInt16 depth, 4 = ImageFloat) — whatever header
+    srrg2_core prepends is skipped.  Prefers the widest dtype that fits
+    exactly, so a headerless u16 blob is not misread as u8.
+    """
+    if rows <= 0 or cols <= 0:
+        raise ValueError("BLOB decode needs image_rows/image_cols > 0")
+    n = rows * cols
+    for bpp, dtype in ((4, np.float32), (2, np.uint16), (1, np.uint8)):
+        if len(raw) == n * bpp:
+            return np.frombuffer(raw, dtype).reshape(rows, cols) \
+                     .astype(np.float32)
+    for bpp, dtype in ((4, np.float32), (2, np.uint16), (1, np.uint8)):
+        if len(raw) >= n * bpp:
+            tail = raw[len(raw) - n * bpp:]
+            return np.frombuffer(tail, dtype).reshape(rows, cols) \
+                     .astype(np.float32)
+    raise ValueError(
+        f"BLOB of {len(raw)} bytes cannot hold a {rows}x{cols} image")
+
+
+def _load_image(payload: dict, base_dir: str, blobs: dict = None,
+                blob_dir: str = "") -> np.ndarray:
     if "image_file" in payload:
         return load_gray(os.path.join(base_dir, payload["image_file"]))
-    if "image_data" in payload:
-        return np.asarray(payload["image_data"], np.float32)
+    rows = int(payload.get("image_rows", 0))
+    cols = int(payload.get("image_cols", 0))
+    for key in _IMAGE_KEYS:
+        v = payload.get(key)
+        if v is None:
+            continue
+        if isinstance(v, list):
+            return np.asarray(v, np.float32)           # inline rows
+        name = None
+        if isinstance(v, dict) and "#pointer" in v and blobs is not None:
+            ref = blobs.get(v["#pointer"])
+            if ref is not None:
+                name = _blob_file_name(ref)
+        elif isinstance(v, str):
+            name = v                                    # direct file name
+        if name is not None:
+            for cand in (os.path.join(base_dir, blob_dir, name),
+                         os.path.join(base_dir, name)):
+                if os.path.exists(cand):
+                    with open(cand, "rb") as f:
+                        return _decode_image_blob(f.read(), rows, cols)
+            raise FileNotFoundError(
+                f"BLOB payload '{name}' not found next to the log "
+                f"(looked in '{blob_dir or '.'}')")
     raise ValueError(
-        "ImageMessage carries no supported payload (expected 'image_file' "
-        "or inline 'image_data'; srrg2_core binary BLOBs are not decoded)")
+        "ImageMessage carries no supported payload (expected a binary "
+        "BLOB reference, 'image_file', or inline 'image_data')")
 
 
 def boss_camera(path: str, topic_hint: str = "") -> Optional[Camera]:
@@ -169,55 +255,96 @@ def boss_camera(path: str, topic_hint: str = "") -> Optional[Camera]:
     )
 
 
+def _classify_topics(messages, left_topic, right_topic):
+    """Resolve the left/right ImageMessage topics.
+
+    Explicit arguments win; otherwise the 'left'/'right' substring
+    heuristic runs over frame_id and topic; as a last resort the first two
+    distinct topics map to (left, right) in first-appearance order — so
+    reference-converted logs with other naming still pair one-to-one
+    instead of misparsing (every unmatched message used to be classified
+    "right").
+    """
+    topics = []
+    for obj in messages:
+        t = obj.get("topic", "") or obj.get("frame_id", "")
+        if t not in topics:
+            topics.append(t)
+    if left_topic is None:
+        cands = [t for t in topics
+                 if "left" in t or "left" in _frame_of(t, messages)]
+        left_topic = cands[0] if cands else (topics[0] if topics else "")
+    if right_topic is None:
+        others = [t for t in topics if t != left_topic]
+        cands = ([t for t in others if "right" in t
+                  or "right" in _frame_of(t, messages)] or others)
+        right_topic = cands[0] if cands else ""
+    return left_topic, right_topic
+
+
+def _frame_of(topic, messages):
+    for obj in messages:
+        if (obj.get("topic", "") or obj.get("frame_id", "")) == topic:
+            return obj.get("frame_id", "")
+    return ""
+
+
 def iter_boss_stereo(path: str, count: Optional[int] = None,
-                     sync_threshold_s: float = 0.01
+                     sync_threshold_s: float = 0.01,
+                     left_topic: Optional[str] = None,
+                     right_topic: Optional[str] = None
                      ) -> Iterator[StereoFrame]:
     """Synchronized stereo frames from a BOSS message log.
 
     MessageSynchronizedSource analog (kitti.conf:144-162): left/right
-    ImageMessages pair when their timestamps agree within
-    ``sync_threshold_s``; ground-truth camera_left-in-world TF events
-    attach to the paired frame.
+    ImageMessages pair ONE-TO-ONE when their timestamps agree within
+    ``sync_threshold_s`` (each right image pairs with at most one left);
+    ground-truth camera_left-in-world TF events attach to the paired
+    frame.  Topics are selected explicitly via ``left_topic`` /
+    ``right_topic`` or inferred (see :func:`_classify_topics`); messages
+    are kept in arrival order, so duplicate timestamps do not collapse.
     """
     base_dir = os.path.dirname(os.path.abspath(path))
-    left = {}
-    right = {}
+    blob_dir = os.path.basename(path) + ".d"
+    objects = parse_boss_file(path)
+    blobs = _blob_registry(objects)
+    images = [obj for name, obj in objects if name == "ImageMessage"]
     gts = {}
-    order = []
-    for name, obj in parse_boss_file(path):
-        if name == "ImageMessage":
-            ts = float(obj["timestamp"])
-            frame = obj.get("frame_id", "")
-            if "left" in frame or "left" in obj.get("topic", ""):
-                left[ts] = obj
-                order.append(ts)
-            else:
-                right[ts] = obj
-        elif name == "TransformEventsMessage":
+    for name, obj in objects:
+        if name == "TransformEventsMessage":
             for ev in obj.get("events", []):
                 if (ev.get("child_frame") == "camera_left"
                         and ev.get("parent_frame") == "world"):
                     gts[float(obj["timestamp"])] = np.asarray(
                         ev["transform"], np.float32).reshape(4, 4)
-    right_ts = sorted(right)
+    lt, rt = _classify_topics(images, left_topic, right_topic)
+    lefts, rights = [], []
+    for obj in images:
+        t = obj.get("topic", "") or obj.get("frame_id", "")
+        if t == lt:
+            lefts.append(obj)
+        elif t == rt:
+            rights.append(obj)
+    right_ts = [float(o["timestamp"]) for o in rights]
+    used = [False] * len(rights)
     emitted = 0
-    for ts in order:
-        # nearest right timestamp within the synchronization threshold
-        if not right_ts:
-            break
+    for obj in lefts:
+        ts = float(obj["timestamp"])
+        # nearest UNUSED right timestamp within the sync threshold
         idx = int(np.searchsorted(right_ts, ts))
         best, best_dt = None, sync_threshold_s
-        for k in (idx - 1, idx):
-            if 0 <= k < len(right_ts):
+        for k in (idx - 1, idx, idx + 1):
+            if 0 <= k < len(rights) and not used[k]:
                 dt = abs(right_ts[k] - ts)
                 if dt <= best_dt:
-                    best, best_dt = right_ts[k], dt
+                    best, best_dt = k, dt
         if best is None:
             continue
+        used[best] = True
         yield StereoFrame(
             timestamp=ts,
-            left=_load_image(left[ts], base_dir),
-            right=_load_image(right[best], base_dir),
+            left=_load_image(obj, base_dir, blobs, blob_dir),
+            right=_load_image(rights[best], base_dir, blobs, blob_dir),
             gt_pose=gts.get(ts),
         )
         emitted += 1
@@ -242,7 +369,14 @@ def write_boss_stereo(path: str, frames, camera: Camera,
     (convert_stereo_to_srrg2.cpp:113-180): two ImageMessages, a
     CameraInfoMessage per camera image, and a TransformEventsMessage with
     the stereo extrinsic (+ ground truth when present).  Payload pixels go
-    to ``<log>.d/`` as ordinary image files referenced by ``image_file``.
+    to ``<log>.d/``: as ordinary image files referenced by ``image_file``
+    (``image_format`` "png"/"pgm"), or — ``image_format="blob"`` — as
+    srrg2-style binary BLOBs: raw row-major uint8 bytes behind a
+    (rows, cols, type) header, referenced from the message through a
+    ``{"#pointer": id}`` plus an ``ImageUInt8BLOBReference`` block naming
+    the binary file (the layout the reference converter's Serializer
+    produces, convert_stereo_to_srrg2.cpp:129-135).  The reader's
+    geometry-based decoder round-trips both.
     """
     from .datasets import save_gray
 
@@ -257,20 +391,38 @@ def write_boss_stereo(path: str, frames, camera: Camera,
     T_right_in_left = np.eye(4)
     T_right_in_left[0, 3] = -baseline_m
     n = 0
+    next_id = 1
     with open(path, "w") as f:
         for seq, fr in enumerate(frames):
             for side, img in (("left", fr.left), ("right", fr.right)):
-                rel = f"{payload_dir}/{side}_{seq:06d}.{image_format}"
-                save_gray(os.path.join(base_dir, rel), img)
-                f.write(_block("ImageMessage", {
+                arr = np.asarray(img)
+                msg = {
                     "topic": f"/camera_{side}/image_raw",
                     "frame_id": f"camera_{side}",
                     "seq": seq,
                     "timestamp": fr.timestamp,
-                    "image_rows": int(np.asarray(img).shape[0]),
-                    "image_cols": int(np.asarray(img).shape[1]),
-                    "image_file": rel,
-                }))
+                    "image_rows": int(arr.shape[0]),
+                    "image_cols": int(arr.shape[1]),
+                }
+                if image_format == "blob":
+                    name = f"imageuint8.{2 * seq + (side == 'right'):06d}.srrg"
+                    raw = (np.uint64([arr.shape[0], arr.shape[1]]).tobytes()
+                           + np.uint32([0]).tobytes()
+                           + np.clip(arr, 0, 255).astype(np.uint8).tobytes())
+                    with open(os.path.join(base_dir, payload_dir, name),
+                              "wb") as bf:
+                        bf.write(raw)
+                    msg["image_data"] = {"#pointer": next_id}
+                    f.write(_block("ImageUInt8BLOBReference", {
+                        "#id": next_id, "file_name": name,
+                        "name_attribute": "image_data",
+                    }))
+                    next_id += 1
+                else:
+                    rel = f"{payload_dir}/{side}_{seq:06d}.{image_format}"
+                    save_gray(os.path.join(base_dir, rel), img)
+                    msg["image_file"] = rel
+                f.write(_block("ImageMessage", msg))
                 f.write(_block("CameraInfoMessage", {
                     "topic": f"/camera_{side}/image_raw/info",
                     "frame_id": f"camera_{side}",

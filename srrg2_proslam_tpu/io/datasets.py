@@ -78,6 +78,39 @@ def load_depth(path: str) -> np.ndarray:
     return np.ascontiguousarray(arr, dtype=np.float32)
 
 
+def read_pfm(path: str) -> np.ndarray:
+    """SceneFlow-style PFM disparity/float image (the reference's readPFM,
+    compute_sparse_stereo_gt.cpp): 'Pf'/'PF' header, 'W H', scale line
+    whose sign encodes endianness, float32 rows stored BOTTOM-UP.
+    Returns the first channel, top-down, [H, W] float32."""
+    import re
+
+    with open(path, "rb") as f:
+        header = f.readline().decode("latin-1").strip()
+        if header not in ("Pf", "PF"):
+            raise ValueError(f"not a PFM file: {path} (header {header!r})")
+        dims = f.readline().decode("latin-1").strip()
+        while dims.startswith("#"):
+            dims = f.readline().decode("latin-1").strip()
+        w, h = map(int, re.split(r"\s+", dims))
+        scale = float(f.readline().decode("latin-1").strip())
+        count = w * h * (3 if header == "PF" else 1)
+        data = np.frombuffer(
+            f.read(count * 4), "<f4" if scale < 0 else ">f4")
+    img = data.reshape(h, w, -1)[..., 0]
+    return np.ascontiguousarray(img[::-1]).astype(np.float32)
+
+
+def write_pfm(path: str, image: np.ndarray) -> None:
+    """Write a [H, W] float32 image as little-endian grayscale PFM."""
+    arr = np.asarray(image, np.float32)
+    with open(path, "wb") as f:
+        f.write(b"Pf\n")
+        f.write(f"{arr.shape[1]} {arr.shape[0]}\n".encode())
+        f.write(b"-1.0\n")
+        f.write(np.ascontiguousarray(arr[::-1]).astype("<f4").tobytes())
+
+
 # --------------------------------------------------------------------------
 # calibrations (values the reference fixtures/configs pin for these datasets)
 # --------------------------------------------------------------------------

@@ -101,3 +101,87 @@ def test_boss_sync_threshold(tmp_path, rng):
     assert len(got) <= 2  # the tampered pair may drop; no crash, no mispair
     for fr in got:
         assert fr.left.shape == (32, 32)
+
+
+def test_boss_blob_roundtrip(tmp_path, rng):
+    """srrg2-style binary BLOB payloads decode bit-exactly (VERDICT r3 #4):
+    the message references the pixels through {"#pointer": id} resolved via
+    an ImageUInt8BLOBReference block, and the bytes live in <log>.d/."""
+    cam = kitti_camera(rows=40, cols=56)
+    frames = _frames(rng, n=3, shape=(40, 56))
+    path = os.path.join(tmp_path, "messages.json")
+    n = boss.write_boss_stereo(path, frames, cam, image_format="blob")
+    assert n == 3
+    # the log must actually use the BLOB indirection, not image_file
+    text = open(path).read()
+    assert "#pointer" in text and "ImageUInt8BLOBReference" in text
+    assert "image_file" not in text
+    got = list(boss.iter_boss_stereo(path))
+    assert len(got) == 3
+    for a, b in zip(frames, got):
+        np.testing.assert_array_equal(np.uint8(a.left), np.uint8(b.left))
+        np.testing.assert_array_equal(np.uint8(a.right), np.uint8(b.right))
+        np.testing.assert_allclose(a.gt_pose, b.gt_pose, atol=1e-6)
+
+
+def test_boss_blob_unknown_header(tmp_path, rng):
+    """The decoder extracts the trailing rows*cols block regardless of the
+    (unknown, srrg2_core-internal) header preceding it."""
+    cam = kitti_camera(rows=16, cols=24)
+    frames = _frames(rng, n=1, shape=(16, 24))
+    path = os.path.join(tmp_path, "messages.json")
+    boss.write_boss_stereo(path, frames, cam, image_format="blob")
+    # prepend 25 bytes of alien header to every payload file
+    d = path + ".d"
+    for name in os.listdir(d):
+        p = os.path.join(d, name)
+        with open(p, "rb") as f:
+            raw = f.read()
+        with open(p, "wb") as f:
+            f.write(b"\x07" * 25 + raw)
+    got = list(boss.iter_boss_stereo(path))
+    np.testing.assert_array_equal(np.uint8(frames[0].left),
+                                  np.uint8(got[0].left))
+
+
+def test_boss_topic_pairing_without_left_substring(tmp_path, rng):
+    """Logs whose topics do not contain 'left'/'right' still pair one-to-
+    one (first-appearance topic order), and explicit topic arguments win
+    (ADVICE r3: the old heuristic classified every unmatched message as a
+    right image)."""
+    cam = kitti_camera(rows=32, cols=32)
+    frames = _frames(rng, n=3, shape=(32, 32))
+    path = os.path.join(tmp_path, "messages.json")
+    boss.write_boss_stereo(path, frames, cam)
+    text = open(path).read()
+    text = text.replace("/camera_left/image_raw", "/cam0/image")
+    text = text.replace("/camera_right/image_raw", "/cam1/image")
+    text = text.replace('"camera_left"', '"cam0"')
+    text = text.replace('"camera_right"', '"cam1"')
+    open(path, "w").write(text)
+    got = list(boss.iter_boss_stereo(path))
+    assert len(got) == 3
+    for a, b in zip(frames, got):
+        np.testing.assert_allclose(a.left, b.left, atol=1.0)
+        np.testing.assert_allclose(a.right, b.right, atol=1.0)
+    # explicit topics: swapping them swaps the sides
+    sw = list(boss.iter_boss_stereo(path, left_topic="/cam1/image",
+                                    right_topic="/cam0/image"))
+    np.testing.assert_allclose(sw[0].left, frames[0].right, atol=1.0)
+
+
+def test_boss_duplicate_timestamps_do_not_collapse(tmp_path, rng):
+    """Two left frames sharing one timestamp both survive (the old reader
+    keyed by raw timestamp and silently dropped one) and each consumes a
+    DIFFERENT right image."""
+    cam = kitti_camera(rows=32, cols=32)
+    frames = _frames(rng, n=3, shape=(32, 32))
+    path = os.path.join(tmp_path, "messages.json")
+    boss.write_boss_stereo(path, frames, cam)
+    text = open(path).read()
+    text = text.replace('"timestamp": 100.1,', '"timestamp": 100.2,')
+    open(path, "w").write(text)
+    got = list(boss.iter_boss_stereo(path))
+    assert len(got) == 3
+    rights = [np.uint8(fr.right).tobytes() for fr in got]
+    assert len(set(rights)) == 3
