@@ -36,7 +36,7 @@ def main():
         db, jnp.asarray(desc1),
         jnp.asarray(rng.uniform(-5, 5, (150, 3)).astype(np.float32)),
         jnp.ones(150, bool), 1)
-    print(f"database: {int(np.asarray(db.size))} descriptors from 2 maps")
+    print(f"database: {int(np.asarray(jnp.sum(db.valid)))} descriptors from 2 maps")
 
     # the query map re-observes map 0's landmarks, displaced by a known SE3
     # and with 5 descriptor bits flipped (sensor noise)

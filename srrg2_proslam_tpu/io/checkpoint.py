@@ -43,6 +43,7 @@ def save(slam: "GraphSLAM", path: str) -> None:
     # entries so the snapshot is a consistent, fully-consumed state
     slam.flush()
     slam._materialize_db_entries()
+    slam._materialize_map_arenas()
     arrays = {}
     arrays.update(_flatten("tracker", slam.tracker_state))
     arrays.update(_flatten("graph", slam.graph))

@@ -82,8 +82,8 @@ SM_ODO = 3        # edge slot of the odometry factor prev -> new
 SM_EDGES = 4      # edge count AFTER this split (odometry + closure factors)
 SM_DBN = 5        # budget-selected descriptor rows of the finished map
 SM_INS = 6        # 1.0 when those rows were inserted into the database
-SM_DBFULL = 7     # 1.0 when insertion was SKIPPED for lack of capacity
-SM_DBSIZE = 8     # database size after this split
+SM_EVICTED = 7    # map id the ring insertion overwrote (-1: none)
+SM_DBNEXT = 8     # ring cursor after this split
 SM_CP = 9         # then K rows of 22 (loop_closure.detect_and_validate)
 
 
@@ -129,6 +129,19 @@ class _ScanYs(NamedTuple):
 def _tree_select(pred, a, b):
     """Scalar-predicate select over two identical pytrees."""
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+@jax.jit
+def take_frame(tree, i):
+    """Jitted leading-axis index over a pytree (or a single array).
+
+    Host-side mirror bookkeeping slices per-frame rows out of the chunk
+    outputs; when the orchestrator runs on a mesh those outputs carry
+    SPMD shardings and the EAGER gather path aborts inside XLA:CPU
+    (measured round 4: Fatal abort in apply_primitive at relocalization) —
+    a jitted index compiles through the partitioner instead.
+    """
+    return jax.tree_util.tree_map(lambda x: x[i], tree)
 
 
 def _scan_body(state: TrackerState, frames_in_map, pts, desc, valid, active,
@@ -244,15 +257,17 @@ def _split_pass(graph: pgo.PoseGraph, edge_count, db, current_map, num_maps,
             budget=budget)
 
         if enable_loop:
-            already = jnp.any((db0.map_id == prev) & db0.valid)
-            room = db0.size + n_b <= db0.capacity
-            do_ins = (~already) & room
+            already = jnp.any(db0.map_id == prev)
+            do_ins = ~already
+            # ring insertion: when the slot is occupied its map is evicted
+            # (reported so the host mirrors it — no rebuild machinery)
+            slot = jax.lax.rem(db0.next, jnp.int32(db0.num_slots))
+            evicted = jnp.where(do_ins, db0.map_id[slot], jnp.int32(-1))
             db1 = jax.lax.cond(
                 do_ins,
                 lambda d: loop_closure.add_local_map(
                     d, desc_b, pts_b, valid_b, prev, rows_b),
                 lambda d: d, db0)
-            db_full = (~already) & (~room)
 
             def with_loop(g, ec):
                 # query + validation on the FULL arena (budget-sized queries
@@ -297,7 +312,7 @@ def _split_pass(graph: pgo.PoseGraph, edge_count, db, current_map, num_maps,
         else:
             db1 = db0
             do_ins = jnp.bool_(False)
-            db_full = jnp.bool_(False)
+            evicted = jnp.int32(-1)
             cp, mrow, mmask, mT = cpacket0, mrow0, mmask0, eyeK
 
         head = jnp.stack([
@@ -305,7 +320,7 @@ def _split_pass(graph: pgo.PoseGraph, edge_count, db, current_map, num_maps,
             prev.astype(jnp.float32), new.astype(jnp.float32),
             odo_slot.astype(jnp.float32), ec.astype(jnp.float32),
             n_b.astype(jnp.float32), do_ins.astype(jnp.float32),
-            db_full.astype(jnp.float32), db1.size.astype(jnp.float32),
+            evicted.astype(jnp.float32), db1.next.astype(jnp.float32),
         ])
         meta = meta.at[j].set(jnp.concatenate([head, cp.reshape(-1)]))
         return (g, ec, db1, new, nm + 1,

@@ -84,28 +84,55 @@ class LoopDetectorConfig:
 
 
 class DescriptorDatabase(NamedTuple):
-    """Fixed-capacity descriptor arena over ALL past local maps."""
+    """Slotted ring of local-map descriptor sets.
 
-    desc: jnp.ndarray       # [D, 256] int8 signed bits
-    points: jnp.ndarray     # [D, 3] landmark position in its local-map frame
-    map_id: jnp.ndarray     # [D] int32 owning local map
-    arena_row: jnp.ndarray  # [D] int32 row in the owning map's landmark arena
-    valid: jnp.ndarray      # [D] bool
-    size: jnp.ndarray       # [] int32 next free row
+    Round-4 redesign: the flat row arena became [S slots x budget rows],
+    ONE finalized local map per slot.  The per-(query, map) two-best
+    extraction — formerly a scatter-min over encoded keys, 8.9 of the
+    9.9 ms split-time query (measured round 4) — becomes a plain ``min``
+    over the slot's budget axis, and insertion/eviction become a ring slot
+    write (the oldest map is overwritten when the ring wraps; no host-side
+    evict-and-rebuild).
+    """
+
+    desc: jnp.ndarray       # [S, budget, 256] int8 signed bits
+    points: jnp.ndarray     # [S, budget, 3] landmark pos in its map frame
+    arena_row: jnp.ndarray  # [S, budget] int32 row in the owning map's arena
+    valid: jnp.ndarray      # [S, budget] bool
+    map_id: jnp.ndarray     # [S] int32 owning local map (-1 = free slot)
+    next: jnp.ndarray       # [] int32 ring cursor (total inserts ever)
+
+    @property
+    def num_slots(self) -> int:
+        return self.map_id.shape[0]
+
+    @property
+    def budget(self) -> int:
+        return self.desc.shape[1]
 
     @property
     def capacity(self) -> int:
-        return self.desc.shape[0]
+        return self.num_slots * self.budget
 
 
-def empty_database(capacity: int) -> DescriptorDatabase:
+def empty_database(capacity: int, budget: int = None) -> DescriptorDatabase:
+    """Ring database holding ``capacity // budget`` local maps.
+
+    ``budget`` = max descriptor rows per map (GraphSLAMConfig.
+    max_db_descriptors_per_map); defaults to capacity/4 clamped to
+    [1, 1024] so small test databases still hold several maps.
+    """
+    if budget is None:
+        budget = max(1, min(1024, capacity // 4))
+    budget = max(1, min(budget, capacity))
+    S = max(1, capacity // budget)
     return DescriptorDatabase(
-        desc=jnp.full((capacity, 256), -1, jnp.int8),
-        points=jnp.zeros((capacity, 3), jnp.float32),
-        map_id=jnp.full((capacity,), -1, jnp.int32),
-        arena_row=jnp.zeros((capacity,), jnp.int32),
-        valid=jnp.zeros((capacity,), bool),
-        size=jnp.int32(0),
+        desc=jnp.full((S, budget, 256), -1, jnp.int8),
+        points=jnp.zeros((S, budget, 3), jnp.float32),
+        arena_row=jnp.zeros((S, budget), jnp.int32),
+        valid=jnp.zeros((S, budget), bool),
+        map_id=jnp.full((S,), -1, jnp.int32),
+        next=jnp.int32(0),
     )
 
 
@@ -118,34 +145,37 @@ def add_local_map(
     map_id,
     rows: jnp.ndarray = None,  # [M] int32 arena rows (default: arange)
 ) -> DescriptorDatabase:
-    """Append one local map's landmarks (contiguous scatter at ``size``).
+    """Write one local map's landmarks into the next ring slot.
 
     Mirrors the reference's addPreviousQuery tree insertion
-    (correspondence_finder_hbst.cpp:110-128).  Rows beyond capacity drop —
-    callers (models/slam.py) detect the would-overflow case beforehand and
-    evict old maps instead of silently losing recall.  ``rows`` carries the
-    landmark-arena row of each input when the input is a compacted
-    (budget-selected) subset of the arena rather than the full arena.
+    (correspondence_finder_hbst.cpp:110-128).  The first ``budget`` valid
+    rows win (callers pre-select by maturity via select_db_rows); when the
+    ring is full the OLDEST map's slot is overwritten — eviction is
+    implicit and the host mirrors it by insertion order.  ``rows`` carries
+    the landmark-arena row of each input when the input is a compacted
+    subset of the arena.
     """
-    D = db.capacity
+    S, budget = db.num_slots, db.budget
     M = desc.shape[0]
-    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    dest = db.size + rank
-    take = valid & (dest < D)
-    dest = jnp.where(take, dest, D)  # overflow sink
-
-    def pad(a):
-        return jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0)
-
     if rows is None:
         rows = jnp.arange(M, dtype=jnp.int32)
-    return DescriptorDatabase(
-        desc=pad(db.desc).at[dest].set(desc)[:D],
-        points=pad(db.points).at[dest].set(points)[:D],
-        map_id=pad(db.map_id).at[dest].set(map_id)[:D],
-        arena_row=pad(db.arena_row).at[dest].set(rows)[:D],
-        valid=pad(db.valid).at[dest].set(True)[:D],
-        size=jnp.minimum(db.size + jnp.sum(take), D),
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    take = valid & (rank < budget)
+    dest = jnp.where(take, rank, budget)  # overflow sink row
+
+    def compact(a, fill):
+        out = jnp.full((budget + 1,) + a.shape[1:], fill, a.dtype)
+        return out.at[dest].set(a)[:budget]
+
+    slot = jax.lax.rem(db.next, jnp.int32(S))
+    return db._replace(
+        desc=db.desc.at[slot].set(compact(desc, -1)),
+        points=db.points.at[slot].set(compact(points, 0)),
+        arena_row=db.arena_row.at[slot].set(compact(rows, 0)),
+        valid=db.valid.at[slot].set(
+            compact(jnp.ones((M,), bool), False)),
+        map_id=db.map_id.at[slot].set(jnp.int32(map_id)),
+        next=db.next + 1,
     )
 
 
@@ -164,60 +194,66 @@ class LoopQueryResult(NamedTuple):
     match_points: jnp.ndarray    # [K, Q, 3] matched landmark in ref frame
 
 
-def query_terms(
-    query_desc: jnp.ndarray,   # [Q, 256] int8
-    query_valid: jnp.ndarray,  # [Q] bool
-    query_map_id,              # current map id (age gating)
-    db: DescriptorDatabase,
-    config: LoopDetectorConfig,
-    num_maps: int,
-):
-    """Shardable inner kernel: per-(query, map) best match + vote histogram.
+def _slot_two_best(query_desc, query_valid, query_map_id, desc, valid,
+                   map_id, slot_base, config: LoopDetectorConfig):
+    """Per-(query, slot) encoded two-best over a [ts, budget] slot group.
 
-    Per-reference extraction (the analog of
-    correspondence_finder_hbst.cpp:95-128): for EVERY reference map, each
-    query row's best and second-best match *within that map* are found by
-    two scatter-min passes over encoded (distance, db_row) keys; a row
-    votes for a map when its within-map best passes the distance gate and
-    the within-map Lowe ratio.  A query row can therefore contribute
-    correspondences to several overlapping maps — exactly the behavior the
-    reference gets from merged HBST matchables.
-
-    Returns (votes [num_maps], per_map_key [Q, num_maps], vote_ok
-    [Q, num_maps]).  When the database is sharded along D, each shard runs
-    this on its slice and the combination is an elementwise min over keys
-    plus a vote psum (see parallel/spmd.py).
+    The slotted layout reduces per-map extraction to a ``min`` over each
+    slot's budget axis — no scatter (the round-3 scatter-min was 8.9 ms of
+    the 9.9 ms split-time query).  Keys encode (distance, flat db row);
+    ``slot_base`` is the first slot's global index (tiling offset).
     """
+    ts, budget = desc.shape[0], desc.shape[1]
     Q = query_desc.shape[0]
-    cost = distance_matrix(query_desc, db.desc)  # [Q, D] int32
-    age_ok = (query_map_id - db.map_id) >= config.minimum_age_difference
-    feasible = query_valid[:, None] & db.valid[None, :] & age_ok[None, :]
-    masked = jnp.where(feasible, cost, _DIST_SENTINEL)
-
-    # best db row per (query, map) as encoded int32 keys
-    rows = jnp.arange(db.capacity, dtype=jnp.int32)[None, :]
-    key = masked * _ROW_SHIFT + rows                       # [Q, D] int32
-    col = jnp.clip(db.map_id, 0, num_maps)                 # invalid rows -> sink
     sentinel = jnp.iinfo(jnp.int32).max
-    full = jnp.full((Q, num_maps + 1), sentinel, jnp.int32)
-    per_map_key = full.at[:, col].min(key)[:, :num_maps]   # [Q, num_maps]
-
-    # second best within the same map (for the Lowe ratio)
-    is_best = key == jnp.concatenate(
-        [per_map_key, jnp.full((Q, 1), sentinel, jnp.int32)], axis=1
-    )[:, col]
-    key2 = jnp.where(is_best, sentinel, key)
-    second_key = full.at[:, col].min(key2)[:, :num_maps]
-
-    d1 = (per_map_key // _ROW_SHIFT).astype(jnp.float32)
-    d2 = jnp.minimum(second_key // _ROW_SHIFT, _DIST_SENTINEL).astype(jnp.float32)
+    cost = distance_matrix(query_desc, desc.reshape(ts * budget, -1))
+    cost = cost.reshape(Q, ts, budget)
+    age_ok = (((query_map_id - map_id) >= config.minimum_age_difference)
+              & (map_id >= 0))                          # [ts]
+    feasible = (query_valid[:, None, None] & valid[None]
+                & age_ok[None, :, None])
+    masked = jnp.where(feasible, cost, _DIST_SENTINEL)
+    flat_row = ((slot_base + jnp.arange(ts, dtype=jnp.int32))[:, None]
+                * budget + jnp.arange(budget, dtype=jnp.int32)[None, :])
+    key = masked * _ROW_SHIFT + flat_row[None]          # [Q, ts, budget]
+    best = jnp.min(key, axis=2)                         # [Q, ts]
+    second = jnp.min(
+        jnp.where(key == best[:, :, None], sentinel, key), axis=2)
+    d1 = (best // _ROW_SHIFT).astype(jnp.float32)
+    d2 = jnp.minimum(second // _ROW_SHIFT, _DIST_SENTINEL).astype(
+        jnp.float32)
     vote_ok = (
         query_valid[:, None]
         & (d1 <= config.maximum_descriptor_distance)
         & (d1 <= config.lowe_ratio * d2)
     )
     votes = jnp.sum(vote_ok, axis=0).astype(jnp.int32)
-    return votes, per_map_key, vote_ok
+    return votes, best, vote_ok
+
+
+def query_terms(
+    query_desc: jnp.ndarray,   # [Q, 256] int8
+    query_valid: jnp.ndarray,  # [Q] bool
+    query_map_id,              # current map id (age gating)
+    db: DescriptorDatabase,
+    config: LoopDetectorConfig,
+):
+    """Per-(query, slot) best match + vote histogram over the whole ring.
+
+    Per-reference extraction (the analog of
+    correspondence_finder_hbst.cpp:95-128): for EVERY stored map, each
+    query row's best and second-best match *within that map's slot* gate a
+    vote by descriptor distance and within-map Lowe ratio.  A query row
+    can contribute correspondences to several overlapping maps — exactly
+    the behavior the reference gets from merged HBST matchables.
+
+    Returns (votes [S], per_slot_key [Q, S], vote_ok [Q, S]).  Shardable
+    along the budget axis (parallel/spmd.py): each shard's partial min /
+    vote sum reduce across shards.
+    """
+    return _slot_two_best(query_desc, query_valid, query_map_id,
+                          db.desc, db.valid, db.map_id, jnp.int32(0),
+                          config)
 
 
 def query_terms_tiled(
@@ -226,63 +262,39 @@ def query_terms_tiled(
     query_map_id,
     db: DescriptorDatabase,
     config: LoopDetectorConfig,
-    num_maps: int,
-    tile: int,
+    tile_slots: int,
 ):
     """Constant-memory variant of ``query_terms`` (VERDICT r2 item 9).
 
-    Scans the database in [tile]-row chunks with a running two-best merge
-    per (query, map): each chunk contributes its within-chunk best and
-    second-best encoded keys, and the cross-chunk merge
-    ``b2' = min(b2, t2, max(b1, t1))`` is exact because every key is unique
-    (the db row is encoded in the low bits).  Peak intermediate memory is
-    [Q, tile] instead of [Q, D] — the query scales to arbitrarily large
-    ``database_capacity`` with bit-identical results to the dense path.
+    Scans the ring ``tile_slots`` slots at a time; because slot groups are
+    disjoint maps, per-tile results simply CONCATENATE (bit-identical to
+    the dense path).  Peak intermediate memory is [Q, tile_slots * budget]
+    instead of [Q, S * budget].
     """
+    S = db.num_slots
+    if S % tile_slots != 0:
+        raise ValueError(
+            f"tile of {tile_slots} slots must divide num_slots {S}")
+    n_tiles = S // tile_slots
+
+    def body(_, inp):
+        desc, valid, mid, t_idx = inp
+        return None, _slot_two_best(
+            query_desc, query_valid, query_map_id, desc, valid, mid,
+            t_idx * tile_slots, config)
+
+    _, (votes, best, vote_ok) = jax.lax.scan(
+        body, None,
+        (db.desc.reshape(n_tiles, tile_slots, db.budget, 256),
+         db.valid.reshape(n_tiles, tile_slots, db.budget),
+         db.map_id.reshape(n_tiles, tile_slots),
+         jnp.arange(n_tiles, dtype=jnp.int32)),
+    )
     Q = query_desc.shape[0]
-    D = db.capacity
-    if D % tile != 0:
-        raise ValueError(f"query_tile {tile} must divide capacity {D}")
-    n_tiles = D // tile
-    sentinel = jnp.iinfo(jnp.int32).max
-    desc_t = db.desc.reshape(n_tiles, tile, db.desc.shape[1])
-    map_t = db.map_id.reshape(n_tiles, tile)
-    valid_t = db.valid.reshape(n_tiles, tile)
-    rows0 = jnp.arange(tile, dtype=jnp.int32)
-    full = jnp.full((Q, num_maps + 1), sentinel, jnp.int32)
-
-    def body(carry, inp):
-        b1, b2 = carry
-        desc, mid, val, t_idx = inp
-        cost = distance_matrix(query_desc, desc)          # [Q, tile]
-        age_ok = (query_map_id - mid) >= config.minimum_age_difference
-        feasible = query_valid[:, None] & val[None, :] & age_ok[None, :]
-        masked = jnp.where(feasible, cost, _DIST_SENTINEL)
-        key = masked * _ROW_SHIFT + (t_idx * tile + rows0)[None, :]
-        col = jnp.clip(mid, 0, num_maps)
-        t1 = full.at[:, col].min(key)
-        is_best = key == t1[:, col]
-        t2 = full.at[:, col].min(jnp.where(is_best, sentinel, key))
-        nb1 = jnp.minimum(b1, t1)
-        nb2 = jnp.minimum(jnp.minimum(b2, t2), jnp.maximum(b1, t1))
-        return (nb1, nb2), None
-
-    (b1, b2), _ = jax.lax.scan(
-        body, (full, full),
-        (desc_t, map_t, valid_t, jnp.arange(n_tiles, dtype=jnp.int32)),
-    )
-    per_map_key = b1[:, :num_maps]
-    second_key = b2[:, :num_maps]
-    d1 = (per_map_key // _ROW_SHIFT).astype(jnp.float32)
-    d2 = jnp.minimum(second_key // _ROW_SHIFT, _DIST_SENTINEL).astype(
-        jnp.float32)
-    vote_ok = (
-        query_valid[:, None]
-        & (d1 <= config.maximum_descriptor_distance)
-        & (d1 <= config.lowe_ratio * d2)
-    )
-    votes = jnp.sum(vote_ok, axis=0).astype(jnp.int32)
-    return votes, per_map_key, vote_ok
+    votes = votes.reshape(S)
+    best = jnp.moveaxis(best, 0, 1).reshape(Q, S)
+    vote_ok = jnp.moveaxis(vote_ok, 0, 1).reshape(Q, S)
+    return votes, best, vote_ok
 
 
 @partial(jax.jit, static_argnames=("config", "num_maps"))
@@ -292,33 +304,42 @@ def query(
     query_map_id,
     db: DescriptorDatabase,
     config: LoopDetectorConfig,
-    num_maps: int,
+    num_maps: int = None,
 ) -> LoopQueryResult:
-    """Match a local map against the whole database; return top-K candidates."""
+    """Match a local map against the whole database; return top-K candidates.
+
+    ``num_maps`` only bounds K for callers that know few maps exist (shape
+    compatibility with the pre-slotted API); the ring's slot count bounds
+    it anyway.
+    """
+    S = db.num_slots
     if config.query_tile > 0:
-        votes, per_map_key, vote_ok = query_terms_tiled(
-            query_desc, query_valid, query_map_id, db, config, num_maps,
-            config.query_tile,
+        tile_slots = max(1, config.query_tile // db.budget)
+        votes, per_slot_key, vote_ok = query_terms_tiled(
+            query_desc, query_valid, query_map_id, db, config, tile_slots,
         )
     else:
-        votes, per_map_key, vote_ok = query_terms(
-            query_desc, query_valid, query_map_id, db, config, num_maps
+        votes, per_slot_key, vote_ok = query_terms(
+            query_desc, query_valid, query_map_id, db, config
         )
-    K = min(config.max_candidates, num_maps)
-    top_votes, top_maps = jax.lax.top_k(votes, K)
+    K = min(config.max_candidates, S)
+    if num_maps is not None:
+        K = min(K, num_maps)
+    top_votes, top_slots = jax.lax.top_k(votes, K)
     found = top_votes >= config.minimum_matches
-    cands = jnp.where(found, top_maps, -1).astype(jnp.int32)
+    cands = jnp.where(found, db.map_id[top_slots], -1).astype(jnp.int32)
 
-    keys = per_map_key[:, jnp.maximum(top_maps, 0)].T      # [K, Q]
-    idx = keys % _ROW_SHIFT
-    mask = found[:, None] & vote_ok[:, jnp.maximum(top_maps, 0)].T
+    keys = per_slot_key[:, top_slots].T                    # [K, Q]
+    idx = keys % _ROW_SHIFT                                # flat db row
+    mask = found[:, None] & vote_ok[:, top_slots].T
+    idx_c = jnp.clip(idx, 0, db.capacity - 1)
     return LoopQueryResult(
         candidate_maps=cands,
         votes=top_votes,
         match_idx=jnp.where(mask, idx, -1).astype(jnp.int32),
-        match_row=jnp.where(mask, db.arena_row[jnp.clip(idx, 0, db.capacity - 1)], -1),
+        match_row=jnp.where(mask, db.arena_row.reshape(-1)[idx_c], -1),
         match_mask=mask,
-        match_points=db.points[jnp.clip(idx, 0, db.capacity - 1)],
+        match_points=db.points.reshape(-1, 3)[idx_c],
     )
 
 

@@ -88,8 +88,11 @@ class GraphSLAMConfig:
     max_edges: int = 1024
     database_capacity: int = 65536
     # per-map descriptor budget for the closure database: only the most
-    # mature landmarks of a finalized map enter; keeps long runs within
-    # ``database_capacity`` before eviction has to kick in
+    # mature landmarks of a finalized map enter.  The database is a slotted
+    # RING of ``database_capacity // max_db_descriptors_per_map`` maps
+    # (here: 64) — when it wraps, the OLDEST map is evicted implicitly, so
+    # this ratio bounds how far back loop closure can reach.  Size it above
+    # the expected number of live maps between revisits.
     max_db_descriptors_per_map: int = 1024
     enable_loop_closing: bool = True
     min_track_inliers: int = 6          # below this the tracker is Lost
@@ -106,11 +109,14 @@ class GraphSLAMConfig:
     # own cadence, app_benchmark.cpp:123-178).
     speculation_depth: int = 0
     # chunked stepping (models/chunk.py): > 0 processes this many frames
-    # per device program via ``process_sequence`` — the adaptor, tracker
-    # AND status machine run on device, cutting host<->device round trips
-    # from ~3/frame to ~2/chunk.  The production mode for high-latency
-    # links and the launch-overhead-optimal mode everywhere.  0 keeps the
-    # per-frame ``process`` path.
+    # per device program via ``process_sequence`` — the adaptor, tracker,
+    # status machine AND the split-time pipeline (db insert, loop query +
+    # validation, closure factors, conditional PGO) run on device; the
+    # host reads ONE packet per chunk.  The production mode for
+    # high-latency links and the launch-overhead-optimal mode everywhere
+    # (B=32 measured SLOWER than 16 on the bench: the dispatch link
+    # overlaps the pipelined chain, so bigger chunks only add buffer
+    # traffic and latency).  0 keeps the per-frame ``process`` path.
     chunk_size: int = 0
     # chunks in flight before the oldest chunk's packet is consumed
     chunk_lag: int = 2
@@ -192,15 +198,17 @@ class GraphSLAM:
     """
 
     def __init__(self, cam: Camera, config: GraphSLAMConfig = GraphSLAMConfig(),
-                 model: str = "stereo"):
+                 model: str = "stereo", mesh=None):
         self.cam = cam
         self.config = config
         self.model = model
+        self.mesh = mesh   # optional jax.sharding.Mesh (see _apply_mesh)
         self.status = INITIALIZING
         self.tracker_state: TrackerState = initial_state(
             config.arena_capacity, estimator=config.tracker.landmark_estimator)
         self.graph = pgo.empty_graph(config.max_local_maps, config.max_edges)
-        self.db = loop_closure.empty_database(config.database_capacity)
+        self.db = loop_closure.empty_database(
+            config.database_capacity, config.max_db_descriptors_per_map)
         self.num_maps = 0
         self.current_map = -1   # index of the active local map
         self.num_edges = 0
@@ -219,8 +227,6 @@ class GraphSLAM:
         self._seq_cursor = 0
         self._seq_lo = 0
         self._carry = None        # chunk_ops.ChunkCarry (sequence-scoped)
-        self._db_dirty = False    # a chunk reported a skipped-for-capacity
-                                  # db insert: evict + rebuild at a safe point
         # device references to finalized local-map arenas, indexed by map
         # id — the store the relocalizer reloads from (the reference keeps
         # every local map alive in its graph; we keep the immutable device
@@ -241,6 +247,65 @@ class GraphSLAM:
         # local-BA keyframe records of the ACTIVE map: (T_lm_robot np,
         # match_idx np, gn_meas np, mask np)
         self._ba_keyframes: list = []
+        if mesh is not None:
+            self._apply_mesh()
+
+    # ------------------------------------------------------------------
+    # multi-device mesh (SURVEY.md §2.3 / §5.8 — new design)
+    # ------------------------------------------------------------------
+
+    def _apply_mesh(self):
+        """Shard the device state over ``self.mesh`` (VERDICT r3 item 3).
+
+        The closure ring shards along its BUDGET axis (every device holds
+        a stripe of every stored map's descriptors — the query's [Q, D]
+        Hamming matmul partitions along D and XLA reduces the per-slot
+        two-best and votes across shards) and the pose-graph FACTOR arrays
+        shard along edges (each device reduces its factors' normal-
+        equation contributions; poses stay replicated).  With the carries
+        sharded, every jitted stage — including the fused chunk op — runs
+        SPMD with compiler-inserted collectives: the integrated-mode
+        counterpart of the standalone parallel/spmd.py entry points,
+        equivalence pinned by tests/test_mesh_orchestrator.py.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        axis = mesh.axis_names[0]
+        n = mesh.devices.size
+        if self.db.budget % n:
+            raise ValueError(
+                f"max_db_descriptors_per_map ({self.db.budget}) must be "
+                f"divisible by the mesh size ({n})")
+        if self.graph.edge_capacity % n:
+            raise ValueError(
+                f"max_edges ({self.graph.edge_capacity}) must be "
+                f"divisible by the mesh size ({n})")
+
+        def put(x, *spec):
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+        db = self.db
+        self.db = db._replace(
+            desc=put(db.desc, None, axis, None),
+            points=put(db.points, None, axis, None),
+            arena_row=put(db.arena_row, None, axis),
+            valid=put(db.valid, None, axis),
+            map_id=put(db.map_id),
+            next=put(db.next),
+        )
+        g = self.graph
+        self.graph = g._replace(
+            poses=put(g.poses),
+            pose_valid=put(g.pose_valid),
+            edge_i=put(g.edge_i, axis),
+            edge_j=put(g.edge_j, axis),
+            edge_Z=put(g.edge_Z, axis, None, None),
+            edge_weight=put(g.edge_weight, axis),
+            edge_valid=put(g.edge_valid, axis),
+        )
+        if self._carry is not None:
+            self._carry = self._carry._replace(graph=self.graph, db=self.db)
 
     # ------------------------------------------------------------------
     # local-map management
@@ -253,6 +318,8 @@ class GraphSLAM:
             # grow instead of crashing (capacity lifecycle)
             self.graph = pgo.grow(self.graph, 2 * self.graph.capacity,
                                   self.graph.edge_capacity)
+            if self.mesh is not None:
+                self._apply_mesh()
         self.graph = pgo.add_pose(self.graph, idx, T_world_new_lm)
         if self.current_map >= 0:
             # odometry factor from the previously active map (which after a
@@ -277,6 +344,8 @@ class GraphSLAM:
         if self.num_edges >= self.graph.edge_capacity:
             self.graph = pgo.grow(self.graph, self.graph.capacity,
                                   2 * self.graph.edge_capacity)
+            if self.mesh is not None:
+                self._apply_mesh()
         self.graph = pgo.add_edge(self.graph, self.num_edges, i, j, Z,
                                   weight=weight)
         self.num_edges += 1
@@ -301,6 +370,14 @@ class GraphSLAM:
 
     def _entry_np(self, entry) -> dict:
         """Materialize a device db entry to compact numpy arrays."""
+        if "_lazy" in entry:
+            ys, i = entry["_lazy"]
+            n = int(entry["_n"])
+            return dict(
+                desc=np.asarray(chunk_ops.take_frame(ys.split_desc, i))[:n],
+                points=np.asarray(chunk_ops.take_frame(ys.split_pos, i))[:n],
+                rows=np.asarray(chunk_ops.take_frame(ys.split_rows, i))[:n],
+            )
         if "_n" not in entry:
             return entry
         n = int(np.asarray(entry["_n"]))
@@ -314,30 +391,30 @@ class GraphSLAM:
         for mid in list(self._db_entries):
             self._db_entries[mid] = self._entry_np(self._db_entries[mid])
 
-    def _rebuild_db(self):
-        """Rebuild the device database from the entry mirror (post-eviction)."""
-        self._materialize_db_entries()
-        cap = self.db.capacity
-        desc = np.full((cap, 256), -1, np.int8)
-        points = np.zeros((cap, 3), np.float32)
-        map_id = np.full((cap,), -1, np.int32)
-        arena_row = np.zeros((cap,), np.int32)
-        valid = np.zeros((cap,), bool)
-        offset = 0
-        for mid, entry in self._db_entries.items():
-            n = entry["desc"].shape[0]
-            sl = slice(offset, offset + n)
-            desc[sl] = entry["desc"]
-            points[sl] = entry["points"]
-            map_id[sl] = mid
-            arena_row[sl] = entry["rows"]
-            valid[sl] = True
-            offset += n
-        self.db = loop_closure.DescriptorDatabase(
-            desc=jnp.asarray(desc), points=jnp.asarray(points),
-            map_id=jnp.asarray(map_id), arena_row=jnp.asarray(arena_row),
-            valid=jnp.asarray(valid), size=jnp.int32(offset),
-        )
+    def _get_map_arena(self, mid: int):
+        """Finalized-map arena by id, materializing a lazy chunk ref."""
+        v = self._map_arenas[mid]
+        if isinstance(v, tuple) and len(v) == 3 and v[0] == "lazy":
+            v = chunk_ops.take_frame(v[1], v[2])
+            self._map_arenas[mid] = v
+        return v
+
+    def _materialize_map_arenas(self):
+        for mid in list(self._map_arenas):
+            self._get_map_arena(mid)
+
+    def _mirror_ring_insert(self, map_id: int, entry: dict):
+        """Mirror one ring insertion: the device slot write implicitly
+        evicts the oldest stored map once the ring is full; the mirror
+        (insertion-ordered, exactly one entry per occupied slot) drops the
+        same map — no device read, no rebuild."""
+        if len(self._db_entries) >= self.db.num_slots:
+            oldest = next(iter(self._db_entries))
+            del self._db_entries[oldest]
+            self.num_db_evictions += 1
+            print(f"[slam] loop database ring full: evicted map {oldest} "
+                  f"({self.num_db_evictions} evictions total)")
+        self._db_entries[map_id] = entry
 
     def _finalize_current_map(self):
         """Push the finished local map's landmarks into the closure database
@@ -345,11 +422,10 @@ class GraphSLAM:
 
         All device-side (VERDICT r2 item 3): the per-map budget (the most
         mature ``max_db_descriptors_per_map`` landmarks) is selected and
-        compacted on device, appended to the database with one jit, and the
-        selected rows stream to the host mirror asynchronously.  Capacity
-        lifecycle: when the database would overflow, the OLDEST maps are
-        evicted (with a warning) and the device database rebuilt — closures
-        keep firing on long runs instead of silently stopping.
+        compacted on device and written into the next ring slot with one
+        jit; the selected rows stream to the host mirror asynchronously.
+        Capacity lifecycle: the ring overwrites the OLDEST map when full
+        (mirrored with a warning) — closures keep firing on long runs.
         """
         arena = self.tracker_state.arena
         self._map_arenas[self.current_map] = arena
@@ -364,27 +440,12 @@ class GraphSLAM:
         )
         for a in (desc_b, pts_b, rows_b, n_b):
             a.copy_to_host_async()
-        self._db_entries[self.current_map] = dict(
+        self._mirror_ring_insert(self.current_map, dict(
             desc=desc_b, points=pts_b, rows=rows_b, _n=n_b,
+        ))
+        self.db = loop_closure.add_local_map(
+            self.db, desc_b, pts_b, valid_b, self.current_map, rows_b,
         )
-        total = sum(self._entry_count(e) for e in self._db_entries.values())
-        if total > self.db.capacity:
-            total = sum(self._entry_count(e, exact=True)
-                        for e in self._db_entries.values())
-            while total > self.db.capacity and len(self._db_entries) > 1:
-                oldest = next(iter(self._db_entries))
-                total -= self._entry_count(self._db_entries[oldest],
-                                           exact=True)
-                del self._db_entries[oldest]
-                self.num_db_evictions += 1
-                print(f"[slam] loop database full: evicted map {oldest} "
-                      f"({self.num_db_evictions} evictions total)")
-            self._rebuild_db()
-        else:
-            # common path: jitted contiguous append of the compacted rows
-            self.db = loop_closure.add_local_map(
-                self.db, desc_b, pts_b, valid_b, self.current_map, rows_b,
-            )
 
     def _dispatch_loop_query(self, entry: _PendingFrame, T_split: np.ndarray):
         """Dispatch the fused loop query+validation; return the marker.
@@ -469,7 +530,8 @@ class GraphSLAM:
             pose_valid=g.pose_valid.at[m.new_map].set(False),
             edge_valid=g.edge_valid.at[m.odo_edge_slot].set(False),
         )
-        arena = jax.tree_util.tree_map(jnp.asarray, self._map_arenas[cand])
+        arena = jax.tree_util.tree_map(jnp.asarray,
+                                       self._get_map_arena(cand))
         merged = lm.merge_closure(
             arena, m.query_state.arena, m.T_candidates[k],
             m.match_row[k], m.match_mask[k],
@@ -556,8 +618,6 @@ class GraphSLAM:
         try:
             self._drain(0, force=True)
             self._drain_chunk_queue(0, force=True)
-            if self._db_dirty:
-                self._evict_and_rebuild_db()
         finally:
             self._draining = False
 
@@ -783,8 +843,13 @@ class GraphSLAM:
     def _start_sequence(self, seq: dict, timestamps, T: int):
         B = self.config.chunk_size
         assert B > 0, "sequence processing requires config.chunk_size > 0"
-        assert not self.config.local_ba.enabled, \
-            "local BA is not supported in chunked mode yet"
+        if self.config.local_ba.enabled:
+            raise ValueError(
+                "local_ba is per-frame-mode only: the rendered-benchmark "
+                "A/B measures it hurting accuracy (ATE 0.428->0.502, "
+                "scripts/ab_local_ba.py), so the chunked production mode "
+                "deliberately does not carry its dataflow — see PARITY.md "
+                "'Known behavioral divergences'")
         assert not self._queue, "cannot mix per-frame and chunked pipelines"
         # pad the sequence to a whole number of chunks so the in-op dynamic
         # slice never clamps onto preceding frames (tail frames are masked
@@ -822,12 +887,6 @@ class GraphSLAM:
         while self._seq_cursor < T or self._cqueue:
             if self._seq_cursor < T:
                 self._ensure_chunk_capacity()
-                if self._db_dirty:
-                    # a consumed chunk reported a skipped db insert: bring
-                    # the mirror up to date, then evict + rebuild
-                    self._drain_chunk_queue(0, force=True)
-                    self._evict_and_rebuild_db()
-                    continue  # a reloc during the drain may rewind the cursor
                 start = self._seq_cursor
                 lo = self._seq_lo
                 self._seq_lo = 0
@@ -838,8 +897,6 @@ class GraphSLAM:
                 # tail: force-consume everything; a relocalization here can
                 # rewind the cursor, re-entering the dispatch branch
                 self._drain_chunk_queue(0, force=True)
-        if self._db_dirty:
-            self._evict_and_rebuild_db()
         self._seq = None
 
     def _invoke_chunk(self, carry, start: int, lo: int, hi: int):
@@ -923,19 +980,23 @@ class GraphSLAM:
             # device-detected finish: mirror the split the op already ran
             sm = meta[i]
             prev, new = int(sm[P.SM_PREV]), int(sm[P.SM_NEW])
-            self._map_arenas[prev] = jax.tree_util.tree_map(
-                lambda x: x[i], entry.ys.arenas)
-            if sm[P.SM_INS] > 0.5 or sm[P.SM_DBFULL] > 0.5:
-                # DBFULL entries are mirrored too: the op skipped their
-                # insert, and the rebuild below restores their recall
+            # LAZY mirrors: no device dispatch on the steady path — every
+            # slice here would enter the device queue and lengthen the
+            # serialized chunk chain; materialization happens only at
+            # relocalization / eviction-free checkpoint time
+            self._map_arenas[prev] = ("lazy", entry.ys.arenas, i)
+            if sm[P.SM_INS] > 0.5:
+                ev = int(sm[P.SM_EVICTED])
+                if ev >= 0:
+                    # the ring slot write overwrote the oldest stored map
+                    self._db_entries.pop(ev, None)
+                    self.num_db_evictions += 1
+                    print(f"[slam] loop database ring full: evicted map "
+                          f"{ev} ({self.num_db_evictions} evictions total)")
                 self._db_entries[prev] = dict(
-                    desc=entry.ys.split_desc[i],
-                    points=entry.ys.split_pos[i],
-                    rows=entry.ys.split_rows[i],
+                    _lazy=(entry.ys, i),
                     _n=int(sm[P.SM_DBN]),
                 )
-            if sm[P.SM_DBFULL] > 0.5:
-                self._db_dirty = True
             self.num_edges = int(sm[P.SM_EDGES])
             self.num_maps = new + 1
             self.current_map = new
@@ -987,11 +1048,13 @@ class GraphSLAM:
         T_split[:3, :] = row[P.PKT_T:P.PKT_T + 12].reshape(3, 4)
         velocity = row[P.PKT_VEL:P.PKT_VEL + 6].astype(np.float32)
         ref_arena = jax.tree_util.tree_map(jnp.asarray,
-                                           self._map_arenas[cand])
-        query_arena = jax.tree_util.tree_map(lambda x: x[i], ys_fin.arenas)
+                                           self._get_map_arena(cand))
+        query_arena = chunk_ops.take_frame(ys_fin.arenas, i)
         graph, state = chunk_ops.reloc_op(
-            carry_fin.graph, ref_arena, query_arena, ys_fin.loop_T[i],
-            ys_fin.loop_row[i], ys_fin.loop_mask[i], jnp.int32(k),
+            carry_fin.graph, ref_arena, query_arena,
+            chunk_ops.take_frame(ys_fin.loop_T, i),
+            chunk_ops.take_frame(ys_fin.loop_row, i),
+            chunk_ops.take_frame(ys_fin.loop_mask, i), jnp.int32(k),
             jnp.asarray(T_split), jnp.asarray(velocity),
             int(sm[P.SM_NEW]), int(sm[P.SM_ODO]),
             config.closure_merge_max_insertions,
@@ -1046,31 +1109,9 @@ class GraphSLAM:
                   "edges (chunk op recompiles)")
             self._carry = self._carry._replace(graph=pgo.grow(g, pcap, ecap))
             self.graph = self._carry.graph
+            if self.mesh is not None:
+                self._apply_mesh()
 
-    def _evict_and_rebuild_db(self):
-        """Evict the oldest maps and rebuild the device database.
-
-        Runs only when the queue is drained (mirror == device + the
-        skipped-insert entries), so the rebuild restores every map the
-        fused op could not insert.  Keeps headroom for a few in-flight
-        inserts before the next rebuild becomes necessary.
-        """
-        budget = self.config.max_db_descriptors_per_map
-        cap = self.db.capacity
-        headroom = min(4 * budget, cap // 2)
-        total = sum(self._entry_count(e, exact=True)
-                    for e in self._db_entries.values())
-        while total + headroom > cap and len(self._db_entries) > 1:
-            oldest = next(iter(self._db_entries))
-            total -= self._entry_count(self._db_entries[oldest], exact=True)
-            del self._db_entries[oldest]
-            self.num_db_evictions += 1
-            print(f"[slam] loop database full: evicted map {oldest} "
-                  f"({self.num_db_evictions} evictions total)")
-        self._rebuild_db()
-        if self._carry is not None:
-            self._carry = self._carry._replace(db=self.db)
-        self._db_dirty = False
 
     # ------------------------------------------------------------------
     # accessors (example_slam_3d.cpp:106-141 parity)

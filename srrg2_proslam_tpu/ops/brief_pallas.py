@@ -37,14 +37,19 @@ _LANE = 128
 _WORDS = 8                # 256 bits / 32
 
 
-def _brief_word_kernel(img_ref, out_ref, *, word: int):
-    """Image b, stripe i: emit ONE packed int32 word plane (32 pairs).
+def _brief_kernel(img_ref, out_ref):
+    """Image b, word w, stripe i: emit one packed int32 word plane.
 
-    Batching rides the GRID's leading dimension (never jax.vmap), and the
-    8 words run as 8 separate launches: one [B, Hp, Wp] int32 output per
-    launch stays well under the 16 MB VMEM scope that a single
-    [B, 8, Hp, Wp] output blows (measured: 17.35M scoped alloc)."""
-    i = pl.program_id(1)
+    Batching AND the 8 words ride the GRID (never jax.vmap) in a single
+    launch — the image loads into VMEM once and stays resident across all
+    word/stripe steps, unlike the round-3 8-launch scheme.  The word index
+    is a grid coordinate, so the per-word static shift pattern is selected
+    with a lax.switch over 8 statically-unrolled branches.  The output
+    BLOCK is [1, 1, TILE_R, Wp] (~160 KB): blocking only trailing dims is
+    what the Mosaic VMEM scoper accepts — a [1, 8, TILE_R, Wp] block OOMs
+    the 16 MB scope at KITTI widths."""
+    w = pl.program_id(1)
+    i = pl.program_id(2)
     rows = _TILE_R
     stripe = img_ref[0, pl.ds(i * _TILE_R, rows + 2 * _PAD), :]
 
@@ -54,14 +59,23 @@ def _brief_word_kernel(img_ref, out_ref, *, word: int):
             s = pltpu.roll(s, (-dx) % s.shape[1], axis=1)
         return s
 
-    acc = jnp.zeros((rows, stripe.shape[1]), jnp.int32)
-    for b in range(32):
-        k = word * 32 + b
-        pdy, pdx = int(_BRIEF_PAIRS[k, 0, 0]), int(_BRIEF_PAIRS[k, 0, 1])
-        qdy, qdx = int(_BRIEF_PAIRS[k, 1, 0]), int(_BRIEF_PAIRS[k, 1, 1])
-        bit = (shifted(pdy, pdx) < shifted(qdy, qdx)).astype(jnp.int32)
-        acc = acc | (bit << b)
-    out_ref[0] = acc
+    def word_branch(word):
+        def f():
+            acc = jnp.zeros((rows, stripe.shape[1]), jnp.int32)
+            for b in range(32):
+                k = word * 32 + b
+                pdy, pdx = (int(_BRIEF_PAIRS[k, 0, 0]),
+                            int(_BRIEF_PAIRS[k, 0, 1]))
+                qdy, qdx = (int(_BRIEF_PAIRS[k, 1, 0]),
+                            int(_BRIEF_PAIRS[k, 1, 1]))
+                bit = (shifted(pdy, pdx)
+                       < shifted(qdy, qdx)).astype(jnp.int32)
+                acc = acc | (bit << b)
+            return acc
+        return f
+
+    out_ref[0, 0] = jax.lax.switch(
+        w, [word_branch(word) for word in range(_WORDS)])
 
 
 def brief_bitplanes(smooth: jnp.ndarray,
@@ -80,24 +94,21 @@ def brief_bitplanes(smooth: jnp.ndarray,
     img_p = jnp.zeros((B, Hp + 2 * _PAD, Wp), smooth.dtype)
     img_p = jax.lax.dynamic_update_slice(img_p, smooth, (0, _PAD, _PAD))
 
-    words = []
-    for w in range(_WORDS):
-        kernel = functools.partial(_brief_word_kernel, word=w)
-        words.append(pl.pallas_call(
-            kernel,
-            grid=(B, Hp // _TILE_R),
-            in_specs=[pl.BlockSpec(
-                (1, Hp + 2 * _PAD, Wp), lambda b, i: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            )],
-            out_specs=pl.BlockSpec(
-                (1, _TILE_R, Wp), lambda b, i: (b, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.int32),
-            interpret=interpret,
-        )(img_p))
-    out = jnp.stack(words, axis=1)[:, :, :H, _PAD:_PAD + W]
+    out = pl.pallas_call(
+        _brief_kernel,
+        grid=(B, _WORDS, Hp // _TILE_R),
+        in_specs=[pl.BlockSpec(
+            (1, Hp + 2 * _PAD, Wp), lambda b, w, i: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        )],
+        out_specs=pl.BlockSpec(
+            (1, 1, _TILE_R, Wp), lambda b, w, i: (b, w, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, _WORDS, Hp, Wp), jnp.int32),
+        interpret=interpret,
+    )(img_p)
+    out = out[:, :, :H, _PAD:_PAD + W]
     return out[0] if squeeze else out
 
 

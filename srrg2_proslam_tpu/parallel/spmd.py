@@ -11,9 +11,10 @@ Sharding layout (1-D mesh axis ``"d"`` in round 1; the axes generalize to a
     XLA inserts the all-gather for the column-side mutual-argmin reduction
     and the psum for the Gauss-Newton (H, b) 6x6 system automatically from
     the sharding annotations.
-  * loop query (``loop_query_spmd``): descriptor database sharded over
-    ``d`` rows — each device matches the query against its shard; the
-    per-map vote histogram reduction is a psum.
+  * loop query (``loop_query_spmd``): the slotted descriptor ring sharded
+    over ``d`` along its budget axis — each device matches the query
+    against its stripe of every map; the per-slot two-best and vote
+    reductions are cross-shard min/psum.
   * PGO (``pgo_optimize_spmd``): factor arrays sharded over ``d``; each
     device reduces its factors' contributions to the dense normal
     equations, combined by psum; the small 6Nx6N solve is replicated.
@@ -149,21 +150,24 @@ def ba_optimize_spmd(mesh: Mesh, problem, cam: Camera, model: str,
 def loop_query_spmd(mesh: Mesh, query_desc, query_valid, query_map_id,
                     db: loop_closure.DescriptorDatabase,
                     config: loop_closure.LoopDetectorConfig,
-                    num_maps: int, axis: str = "d"):
-    """Database-sharded loop-closure query.
+                    num_maps: int = None, axis: str = "d"):
+    """Database-sharded loop-closure query (slotted ring layout).
 
-    The [Q, D] cost matrix partitions along D; per-query row minima and the
-    per-map vote histogram are cross-shard reductions XLA lowers to psum.
+    The [S, budget, ...] ring partitions along the BUDGET axis (every
+    device holds a stripe of every map's descriptors); the per-slot
+    two-best min and the vote histogram are cross-shard reductions XLA
+    lowers to psum/all-reduce-min from the sharding annotations.
     """
-    row = NamedSharding(mesh, P(axis))
+    stripe = NamedSharding(mesh, P(None, axis))
     rep = NamedSharding(mesh, P())
     db = db._replace(
-        desc=jax.device_put(db.desc, row),
-        points=jax.device_put(db.points, row),
-        map_id=jax.device_put(db.map_id, row),
-        arena_row=jax.device_put(db.arena_row, row),
-        valid=jax.device_put(db.valid, row),
-        size=jax.device_put(db.size, rep),
+        desc=jax.device_put(db.desc, NamedSharding(mesh, P(None, axis, None))),
+        points=jax.device_put(db.points,
+                              NamedSharding(mesh, P(None, axis, None))),
+        arena_row=jax.device_put(db.arena_row, stripe),
+        valid=jax.device_put(db.valid, stripe),
+        map_id=jax.device_put(db.map_id, rep),
+        next=jax.device_put(db.next, rep),
     )
     query_desc = jax.device_put(query_desc, rep)
     query_valid = jax.device_put(query_valid, rep)

@@ -69,3 +69,30 @@ def test_shipped_configs_enable_round_capabilities():
     assert euroc.tracker.motion_prior_rotation_info > 0
     euroc_adaptor = cfg.load(os.path.join(ROOT, "euroc_adaptor.json"))
     assert euroc_adaptor.extractor.oriented
+
+
+def test_kitti_in_baselink_config_exercises_extrinsic():
+    """The baselink variant (reference configurations/kitti_in_baselink.conf:
+    354,451 — aligner slices estimate the robot in a base_link frame with
+    the camera mounted through a TF extrinsic) ships as a config whose
+    T_robot_sensor maps camera axes (x right, y down, z forward) into the
+    vehicle frame (x forward, y left, z up) at the KITTI mount offset."""
+    import numpy as np
+
+    base = cfg.load(os.path.join(ROOT, "kitti_slam.json"))
+    bl = cfg.load(os.path.join(ROOT, "kitti_in_baselink_slam.json"))
+    T = np.asarray(bl.tracker.T_robot_sensor, np.float32).reshape(4, 4)
+    # a camera-frame forward step maps to a base_link +x (forward) step
+    fwd = T[:3, :3] @ np.array([0.0, 0.0, 1.0])
+    np.testing.assert_allclose(fwd, [1.0, 0.0, 0.0], atol=1e-6)
+    # proper rotation + the KITTI mount height
+    np.testing.assert_allclose(np.linalg.det(T[:3, :3]), 1.0, atol=1e-6)
+    assert T[2, 3] > 1.0
+    # everything else matches the plain kitti config
+    import dataclasses
+    assert dataclasses.replace(
+        bl, tracker=dataclasses.replace(
+            bl.tracker, T_robot_sensor=base.tracker.T_robot_sensor)) == base
+    # and it wires a working orchestrator
+    slam = GraphSLAM(kitti_camera(), bl)
+    assert slam.status == "Initializing"
