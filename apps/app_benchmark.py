@@ -109,7 +109,19 @@ def main():
                          "analog, benchmark_kitti.cpp:27)")
     ap.add_argument("--trace-dir", default=None,
                     help="capture a jax.profiler device trace into this dir")
+    ap.add_argument("--viewer-port", type=int, default=None,
+                    help="serve a live top-down map/trajectory view on this "
+                         "port (srrg2_proslam_tpu.viz.LiveViewer — the "
+                         "example_slam_3d.cpp viewer analog; 0 = any port)")
+    ap.add_argument("--viewer-every", type=int, default=25,
+                    help="refresh the live view every N frames")
     args = ap.parse_args()
+
+    viewer = None
+    if args.viewer_port is not None:
+        from srrg2_proslam_tpu.viz import LiveViewer
+
+        viewer = LiveViewer(port=args.viewer_port)
 
     if args.profile:
         profiling.enable()
@@ -189,6 +201,8 @@ def main():
         slam.process_sequence(a, b, ts, adaptor)
         compute_time = time.perf_counter() - t0
         n = len(all_frames)
+        if viewer is not None:
+            viewer.update(slam)
         _finish(args, slam, n, compute_time, gt_poses)
         return
 
@@ -211,6 +225,8 @@ def main():
         if fr.gt_pose is not None:
             gt_poses.append(fr.gt_pose)
         n += 1
+        if viewer is not None and n % args.viewer_every == 0:
+            viewer.update(slam)
         if n % 100 == 0:
             T = slam.robot_in_world()
             print(f"frame {n}: maps={slam.num_maps} closures="

@@ -110,3 +110,78 @@ def test_chunked_status_and_counters(rng):
     assert slam.status == "Tracking"
     assert slam._frame_count == 9
     assert len(slam.timestamps()) == 9
+
+
+def test_chunked_ring_eviction_matches_perframe(rng):
+    """Ring-wrap eviction in CHUNKED mode: the device slot write evicts the
+    oldest map and reports it in the packet (SM_EVICTED); the host mirror
+    must track it exactly like the per-frame path does."""
+    frames = _frames_linear(rng, n_frames=20, step_z=0.7)
+
+    def cfg(chunk):
+        return GraphSLAMConfig(
+            splitting=SplittingConfig(maximum_translation_m=1.2),
+            loop=LoopDetectorConfig(minimum_age_difference=1),
+            arena_capacity=1024,
+            database_capacity=1024,          # ring of 4 maps
+            max_db_descriptors_per_map=256,
+            enable_loop_closing=True,
+            chunk_size=chunk,
+        )
+
+    ref = GraphSLAM(CAM, cfg(0))
+    for i, (p, d, ok) in enumerate(frames):
+        ref.process(p, d, ok, timestamp=0.1 * i)
+    ref.flush()
+    assert ref.num_db_evictions >= 1     # the scenario must wrap the ring
+
+    slam = GraphSLAM(CAM, cfg(4))
+    slam.process_meas_sequence(
+        jnp.stack([f[0] for f in frames]),
+        jnp.stack([f[1] for f in frames]),
+        jnp.stack([f[2] for f in frames]),
+        [0.1 * i for i in range(len(frames))])
+    assert slam.num_db_evictions == ref.num_db_evictions
+    assert sorted(slam._db_entries) == sorted(ref._db_entries)
+    assert len(slam._db_entries) <= slam.db.num_slots
+    _assert_equivalent(ref, slam)
+
+
+def test_chunked_rgbd_image_path(rng):
+    """The fused IMAGE chunk op drives the RGB-D model end to end on the
+    bundled ICL frames (adaptor + tracker + status machine on device),
+    matching the per-frame loop."""
+    import os
+
+    from srrg2_proslam_tpu.io import datasets
+    from srrg2_proslam_tpu.models.frontend import (
+        DepthAdaptorConfig, adapt_rgbd,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "..", "test_data")
+    frames = list(datasets.iter_bundled_icl(root))
+    assert len(frames) >= 3
+    cam = datasets.icl_camera()
+    acfg = DepthAdaptorConfig()
+
+    def cfg(chunk):
+        return GraphSLAMConfig(
+            splitting=SplittingConfig(maximum_translation_m=5.0),
+            arena_capacity=2048,
+            enable_loop_closing=False,
+            chunk_size=chunk,
+        )
+
+    ref = GraphSLAM(cam, cfg(0), model="rgbd")
+    for i, fr in enumerate(frames):
+        m = adapt_rgbd(jnp.asarray(fr.intensity), jnp.asarray(fr.depth),
+                       acfg)
+        ref.process(m.points, m.desc, m.valid, timestamp=0.1 * i)
+    ref.flush()
+
+    slam = GraphSLAM(cam, cfg(2), model="rgbd")
+    slam.process_sequence(
+        np.stack([fr.intensity for fr in frames]),
+        np.stack([fr.depth for fr in frames]),
+        [0.1 * i for i in range(len(frames))], acfg)
+    _assert_equivalent(ref, slam)
