@@ -78,7 +78,12 @@ def _slam_config(speculation_depth=0, chunk_size=0):
         splitting=SplittingConfig(maximum_translation_m=5.0,
                                   maximum_rotation_rad=0.35),
         loop=LoopDetectorConfig(minimum_age_difference=5),
-        arena_capacity=4096,
+        # per-dataset capacity sizing (the reference's own practice: its
+        # configs pin maximum landmark pools per dataset): the rendered
+        # scene's maps peak at ~520 landmarks (scripts-measured), so 2048
+        # keeps 4x headroom while halving the tracker matmuls, the EKF
+        # batch, and the split-time query rows vs the 4096 default
+        arena_capacity=2048,
         database_capacity=16384,
         max_db_descriptors_per_map=512,
         speculation_depth=speculation_depth,
@@ -190,7 +195,7 @@ def amortized_device_times(cam, left_all, right_all, acfg, tcfg,
         return st.T_lm_robot
 
     meas0 = jax.jit(lambda a, b: adapt_stereo_batch(a, b, acfg))(a, b)
-    state = populate(initial_state(4096), a, b)
+    state = populate(initial_state(2048), a, b)
     np.asarray(state.T_lm_robot)  # settle before timing
 
     def timed(fn, *args):

@@ -76,10 +76,10 @@ class LoopDetectorConfig:
     relocalize_min_inliers: int = 25
     relocalize_max_chi_inliers: float = 2.0
     relocalize_min_inliers_ratio: float = 0.5
-    # 0 = dense query (one [Q, D] cost matrix — fastest while it fits);
-    # > 0 = scan the database in chunks of this many rows with running
-    # two-best merging, bounding query memory at [Q, tile] for arbitrarily
-    # large databases (identical results; must divide database capacity)
+    # 0 = dense query (one [Q, S, budget] pass — fastest while it fits);
+    # > 0 = scan the ring max(1, query_tile // budget) SLOTS at a time,
+    # bounding query memory for arbitrarily large databases (bit-identical
+    # results; the slot-group count must divide num_slots)
     query_tile: int = 0
 
 
