@@ -74,7 +74,10 @@ def _render_sequence(n_frames):
 
 def _slam_config(speculation_depth=0, chunk_size=0):
     return GraphSLAMConfig(
-        tracker=TrackerConfig(),
+        # production posture: GN bursts terminate on convergence
+        # (SimpleTerminationCriteria analog; trades cross-mode
+        # bit-equivalence for latency — see TrackerConfig.gn_epsilon)
+        tracker=TrackerConfig(gn_epsilon=1e-5),
         splitting=SplittingConfig(maximum_translation_m=5.0,
                                   maximum_rotation_rad=0.35),
         loop=LoopDetectorConfig(minimum_age_difference=5),

@@ -78,6 +78,11 @@ class TrackerConfig:
     landmark_estimator: str = "ekf"
     rounds: int = 3                   # re-association rounds
     gn_iterations: int = 5            # GN bursts per round (ref reprojects every 5)
+    # SimpleTerminationCriteria(epsilon) analog (kitti.conf:593-615): a GN
+    # burst exits early once the twist update drops below this.  0.0 keeps
+    # the bit-exact fixed-count loop (cross-mode equivalence); production
+    # configs may set ~1e-5 to cut the serial GN latency chain
+    gn_epsilon: float = 0.0
     damping: float = 1e-6             # kitti.conf:831
     min_num_inliers: int = 6          # kitti.conf:994
     chi_threshold: float = 25.0       # RobustifierSaturated (kitti.conf:130-141)
@@ -279,6 +284,7 @@ def track_step(
         X, stats = gn_iterate(
             with_motion_prior(system), X, config.gn_iterations,
             damping=config.damping, min_inliers=config.min_num_inliers,
+            epsilon=config.gn_epsilon,
         )
 
     # ---- merge: EKF update of matched landmarks ----------------------------

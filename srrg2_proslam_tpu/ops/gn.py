@@ -188,8 +188,9 @@ def gn_iterate(
     iterations: int,
     damping: float = 1e-6,
     min_inliers: int = 6,
+    epsilon: float = 0.0,
 ):
-    """Run ``iterations`` GN steps of a 6-DoF system inside one jit.
+    """Run up to ``iterations`` GN steps of a 6-DoF system inside one jit.
 
     A step only applies when at least ``min_inliers`` correspondences are
     active (guards degenerate solves); the final inlier count in the
@@ -197,15 +198,35 @@ def gn_iterate(
     aligner's min_num_inliers status (kitti.conf:995) — inliers are NOT a
     per-step gate because early iterations legitimately start with large
     residuals.
+
+    Termination: a bounded ``while_loop`` exits as soon as the applied
+    twist update drops below ``epsilon`` — the reference solver's
+    SimpleTerminationCriteria(epsilon) (kitti.conf:593-615).  The GN chain
+    is the tracker's serial latency floor (each step is a dependent tiny
+    solve), so converged bursts stop paying for the remaining iterations.
+    The default ``epsilon=0.0`` exits only on an exactly-zero update —
+    BIT-IDENTICAL to the fixed-count loop (remaining iterations would be
+    no-ops), preserving the chunked==per-frame equivalence guarantee; a
+    positive epsilon (TrackerConfig.gn_epsilon) trades that bit-stability
+    for latency, since a 1e-7 cross-mode float difference can change the
+    exit iteration.
     """
 
-    def body(_, carry):
-        X, _ = carry
+    def cond(carry):
+        _, _, it, dx_norm = carry
+        return (it < iterations) & (dx_norm > epsilon)
+
+    def body(carry):
+        X, _, it, _ = carry
         H, b, stats = system_fn(X)
         X_new = gn_step(X, H, b, damping)
-        X_next = jnp.where(stats.num_terms >= min_inliers, X_new, X)
-        return X_next, stats
+        ok = stats.num_terms >= min_inliers
+        X_next = jnp.where(ok, X_new, X)
+        dx = jnp.where(ok, jnp.linalg.norm(se3.log(
+            X_new @ se3.inverse(X))), jnp.float32(0))
+        return X_next, stats, it + 1, dx
 
     dummy = GNStats(jnp.float32(0), jnp.int32(0), jnp.int32(0))
-    X, stats = jax.lax.fori_loop(0, iterations, body, (X0, dummy))
+    X, stats, _, _ = jax.lax.while_loop(
+        cond, body, (X0, dummy, jnp.int32(0), jnp.float32(jnp.inf)))
     return X, stats

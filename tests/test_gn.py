@@ -114,3 +114,27 @@ def test_full_pipeline_jits(rng):
 
     X, stats = run(meas)
     assert_pose_close(X, X_gt)
+
+
+def test_gn_epsilon_termination_matches_fixed_count(rng):
+    """SimpleTerminationCriteria analog (kitti.conf:593-615): a positive
+    epsilon must converge to the same pose as the fixed-count loop (within
+    the step bound) — it only stops paying for no-op iterations."""
+    import numpy as np
+    import jax.numpy as jnp
+    from srrg2_proslam_tpu.ops import se3
+    from srrg2_proslam_tpu.ops.gn import gn_iterate, point3_system
+
+    pts = jnp.asarray(rng.uniform(-5, 5, (200, 3)).astype(np.float32))
+    T_gt = se3.exp(jnp.asarray(
+        np.array([0.3, -0.1, 0.5, 0.02, -0.03, 0.04], np.float32)))
+    fixed = se3.transform_points(T_gt, pts)
+    w = jnp.ones(200)
+    m = jnp.ones(200, bool)
+    system = lambda X: point3_system(X, pts, fixed, w, m, chi_threshold=9.0)
+    X_fixed, s1 = gn_iterate(system, jnp.eye(4), 30, epsilon=0.0)
+    X_eps, s2 = gn_iterate(system, jnp.eye(4), 30, epsilon=1e-6)
+    t_err, ang = se3.error_t_and_angle(X_eps, X_fixed)
+    assert float(jnp.max(t_err)) < 1e-4
+    assert float(ang) < 1e-5
+    assert int(s2.num_inliers) == int(s1.num_inliers)

@@ -64,6 +64,8 @@ def test_shipped_configs_enable_round_capabilities():
         c = cfg.load(os.path.join(ROOT, f"{name}_slam.json"))
         assert c.speculation_depth > 0, name
         assert c.chunk_size > 0, name  # chunked sequence mode enabled
+        # GN convergence termination (SimpleTerminationCriteria analog)
+        assert c.tracker.gn_epsilon > 0, name
     euroc = cfg.load(os.path.join(ROOT, "euroc_slam.json"))
     assert euroc.tracker.motion_prior_translation_info > 0
     assert euroc.tracker.motion_prior_rotation_info > 0
