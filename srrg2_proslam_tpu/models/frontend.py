@@ -28,7 +28,7 @@ from ..ops.features import (
     FeatureExtractorConfig, extract_features, extract_features_batch,
 )
 from ..ops.matching import EpipolarMatcherConfig, match_epipolar
-from ..ops.subpixel import refine_disparity
+from ..ops.subpixel import refine_disparity, refine_disparity_batch
 
 
 class StereoMeasurement(NamedTuple):
@@ -64,7 +64,13 @@ class StereoAdaptorConfig:
     extractor: FeatureExtractorConfig = FeatureExtractorConfig()
     matcher: EpipolarMatcherConfig = EpipolarMatcherConfig()
     minimum_disparity_px: float = 1.0  # kitti.conf:43 minimum_disparity_pixels
-    subpixel_refinement: bool = True
+    # SSD-parabola disparity refinement on top of the detector's own
+    # FAST-score sub-pixel parabola.  OFF by default since round 4: with
+    # the detector parabola in place it is redundant — A/B-measured
+    # (5-frame KITTI gate PASS both ways within 5 mm; rendered e2e gates
+    # PASS; scene-flow disparity inliers@1px 74.8% vs 74.3%) — and its
+    # per-keypoint patch gathers cost ~0.64 ms/frame at chunk batch sizes
+    subpixel_refinement: bool = False
 
 
 @cfg.register
@@ -137,19 +143,35 @@ def adapt_stereo_batch(
 
     All 2B images run through ONE batched frontend (the dense Pallas BRIEF
     kernel batches through its grid — it must not be wrapped in vmap, see
-    ops/features.extract_features_batch); the per-pair matching tail is
-    vmapped.  Returns StereoMeasurement with leading axis B.
+    ops/features.extract_features_batch); the epipolar matching is vmapped
+    (its batched matmuls are native) while the sub-pixel refinement and
+    assembly run NATIVELY batched — a vmapped per-image patch gather costs
+    ~1.5x more (ops/subpixel.refine_disparity_batch).  Returns
+    StereoMeasurement with leading axis B.
     """
     B = lefts.shape[0]
     feats = extract_features_batch(
         jnp.concatenate([lefts, rights]), config.extractor)
-    return jax.vmap(
-        lambda il, ir, ul, dl, vl, ur, dr, vr: _stereo_tail(
-            il, ir, ul, dl, vl, ur, dr, vr, config)
-    )(
-        lefts, rights,
-        feats.uv[:B], feats.desc[:B], feats.valid[:B],
-        feats.uv[B:], feats.desc[B:], feats.valid[B:],
+    uv_l, desc_l, valid_l = feats.uv[:B], feats.desc[:B], feats.valid[:B]
+    uv_r_all, desc_r, valid_r = feats.uv[B:], feats.desc[B:], feats.valid[B:]
+    matches = jax.vmap(
+        lambda ul, dl, vl, ur, dr, vr: match_epipolar(
+            ul, dl, vl, ur, dr, vr, config.matcher)
+    )(uv_l, desc_l, valid_l, uv_r_all, desc_r, valid_r)
+    idx = jnp.maximum(matches.idx, 0)
+    uv_r = jnp.take_along_axis(
+        uv_r_all, idx[..., None], axis=1)                   # [B, N, 2]
+    u_r = uv_r[..., 0]
+    if config.subpixel_refinement:
+        u_r = refine_disparity_batch(lefts, rights, uv_l, uv_r)
+    disparity = uv_l[..., 0] - u_r
+    ok = matches.mask & (disparity >= config.minimum_disparity_px)
+    v_mean = 0.5 * (uv_l[..., 1] + uv_r[..., 1])
+    points = jnp.stack([uv_l[..., 0], v_mean, u_r, v_mean], axis=-1)
+    return StereoMeasurement(
+        points=jnp.where(ok[..., None], points, 0.0),
+        desc=jnp.where(ok[..., None], desc_l, jnp.int8(-1)),
+        valid=ok,
     )
 
 

@@ -132,3 +132,32 @@ def test_projective_tight_stage_when_close(rng):
     )
     assert int(stage) == 0
     assert int(m.count) == n
+
+
+def test_adapt_stereo_batch_matches_single_rows(rng):
+    """The natively-batched stereo adaptor (chunked mode) must reproduce
+    the per-pair adaptor row for row (the batch path re-implements the
+    sub-pixel/assembly tail without vmap for speed)."""
+    import numpy as np
+    from srrg2_proslam_tpu.io import synthetic as syn
+    from srrg2_proslam_tpu.models.frontend import (
+        StereoAdaptorConfig, adapt_stereo, adapt_stereo_batch,
+    )
+
+    cam = syn.synthetic_camera(rows=240, cols=320)
+    planes = syn.make_room()
+    poses = syn.loop_trajectory()[:3]
+    imgs = [syn.render_stereo(cam, jnp.asarray(T), planes)[:2]
+            for T in poses]
+    a = jnp.stack([i[0] for i in imgs])
+    b = jnp.stack([i[1] for i in imgs])
+    acfg = StereoAdaptorConfig()
+    mb = adapt_stereo_batch(a, b, acfg)
+    for i in range(3):
+        ms = adapt_stereo(a[i], b[i], acfg)
+        np.testing.assert_array_equal(np.asarray(ms.valid),
+                                      np.asarray(mb.valid[i]))
+        np.testing.assert_allclose(np.asarray(ms.points),
+                                   np.asarray(mb.points[i]), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ms.desc),
+                                      np.asarray(mb.desc[i]))
