@@ -22,6 +22,7 @@ through optimized local-map estimates exactly like the reference benchmark
 from __future__ import annotations
 
 from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, NamedTuple, Optional
 
 import numpy as np
@@ -186,6 +187,7 @@ class _ChunkEntry(NamedTuple):
     start: int        # first global frame of the chunk
     lo: int
     hi: int
+    packet: object    # Future[np.ndarray]: threaded host fetch of ys.packet
 
 
 class GraphSLAM:
@@ -227,6 +229,12 @@ class GraphSLAM:
         self._seq_cursor = 0
         self._seq_lo = 0
         self._carry = None        # chunk_ops.ChunkCarry (sequence-scoped)
+        # single-thread packet prefetcher: the tunneled runtime charges a
+        # fixed ~13-26 ms link round trip per host read even of a tiny
+        # landed buffer; fetching on a side thread (np.asarray releases
+        # the GIL during transfer) overlaps that RTT with the next chunk's
+        # device time instead of serializing it into the consume path
+        self._fetcher = ThreadPoolExecutor(max_workers=1)
         # device references to finalized local-map arenas, indexed by map
         # id — the store the relocalizer reloads from (the reference keeps
         # every local map alive in its graph; we keep the immutable device
@@ -924,6 +932,7 @@ class GraphSLAM:
         with profile_time("chunk_dispatch"):
             carry, ys = self._invoke_chunk(inputs, start, lo, hi)
         ys.packet.copy_to_host_async()
+        packet = self._fetcher.submit(np.asarray, ys.packet)
         self._carry = carry
         # keep the public attributes pointing at the freshest device refs
         # (accessors flush + read them)
@@ -931,7 +940,7 @@ class GraphSLAM:
         self.graph = carry.graph
         self.db = carry.db
         self._cqueue.append(_ChunkEntry(ys=ys, inputs=inputs, start=start,
-                                        lo=lo, hi=hi))
+                                        lo=lo, hi=hi, packet=packet))
 
     def _drain_chunk_queue(self, lag: int, force: bool = False):
         while self._cqueue and (force or len(self._cqueue) > lag):
@@ -953,7 +962,7 @@ class GraphSLAM:
         K = config.loop.max_candidates
         SM = P.split_meta_size(K)
         with profile_time("chunk_readback"):
-            flat = np.asarray(entry.ys.packet)
+            flat = entry.packet.result()
         pkt = flat[:B * P.PACKET_SIZE].reshape(B, P.PACKET_SIZE)
         meta = flat[B * P.PACKET_SIZE:].reshape(B, SM)
         ts_all = self._seq["ts"]
