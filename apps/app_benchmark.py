@@ -47,6 +47,7 @@ REGRESSION_GATES = {
     "malaga": dict(max_mean_t=25.0, max_std_t=10.0),
     "synthetic": dict(max_mean_t=0.30, max_std_t=1.00),
     "boss": dict(max_mean_t=0.30, max_std_t=1.00),  # converted KITTI-class
+    "boss-rgbd": dict(max_mean_t=0.05, max_std_t=0.25),  # converted TUM-class
 }
 
 CAMERAS = {
@@ -79,7 +80,15 @@ def iter_frames(args):
     elif args.dataset == "boss":
         from srrg2_proslam_tpu.io import boss
 
-        yield from boss.iter_boss_stereo(args.sequence, count=args.count)
+        yield from boss.iter_boss_stereo(
+            args.sequence, count=args.count,
+            left_topic=args.left_topic, right_topic=args.right_topic)
+    elif args.dataset == "boss-rgbd":
+        from srrg2_proslam_tpu.io import boss
+
+        yield from boss.iter_boss_rgbd(
+            args.sequence, count=args.count,
+            rgb_topic=args.left_topic, depth_topic=args.right_topic)
     else:
         raise SystemExit(f"unsupported dataset {args.dataset}")
 
@@ -87,12 +96,19 @@ def iter_frames(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="kitti",
-                    choices=sorted(CAMERAS) + ["synthetic", "boss"])
+                    choices=sorted(CAMERAS) + ["synthetic", "boss",
+                                               "boss-rgbd"])
     ap.add_argument("--sequence", default=None, help="dataset folder")
     ap.add_argument("--gt", default=None, help="ground-truth pose file")
     ap.add_argument("--count", type=int, default=None)
     ap.add_argument("--config", default=None,
                     help="pipeline config JSON (see configurations/)")
+    ap.add_argument("--left-topic", default=None,
+                    help="BOSS log left ImageMessage topic (overrides the "
+                         "left/right substring heuristic; the reference "
+                         "wires topics explicitly, kitti.conf:617-745)")
+    ap.add_argument("--right-topic", default=None,
+                    help="BOSS log right ImageMessage topic")
     ap.add_argument("--adaptor-config", default=None,
                     help="adaptor config JSON (see configurations/)")
     ap.add_argument("--output", default=None, help="trajectory file prefix")
@@ -126,7 +142,7 @@ def main():
     if args.profile:
         profiling.enable()
 
-    rgbd = args.dataset in ("tum", "icl")
+    rgbd = args.dataset in ("tum", "icl", "boss-rgbd")
     slam_config = (cfg.load(args.config) if args.config
                    else GraphSLAMConfig())
     if args.open_loop:
@@ -149,7 +165,17 @@ def main():
     frames = iter_frames(args)
     first = next(iter(frames))
     if rgbd:
-        cam = CAMERAS[args.dataset]()
+        if args.dataset == "boss-rgbd":
+            from srrg2_proslam_tpu.io import boss
+
+            cam = boss.boss_camera(args.sequence)
+            if cam is None:
+                raise SystemExit("no CameraInfoMessage in the BOSS log")
+            if cam.rows == 0:
+                cam = cam._replace(rows=first.intensity.shape[0],
+                                   cols=first.intensity.shape[1])
+        else:
+            cam = CAMERAS[args.dataset]()
         adaptor = (cfg.load(args.adaptor_config) if args.adaptor_config
                    else DepthAdaptorConfig())
     else:

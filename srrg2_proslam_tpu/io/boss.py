@@ -158,26 +158,61 @@ def _blob_file_name(obj: dict):
     return None
 
 
-def _decode_image_blob(raw: bytes, rows: int, cols: int) -> np.ndarray:
-    """Pixels from an srrg2 binary image BLOB, by geometry.
+#: candidate payload layouts, widest first: bpp -> (dtype, channels).
+#: bpp 3 is the reference's RGB8 color payload — its RGB-D converter writes
+#: the rgb ImageMessage alongside depth (convert_rgbd_to_srrg2.cpp:60-120)
+#: and TUM logs are RGB8, so ``rows*cols*3`` blobs must decode (to grayscale,
+#: matching load_gray / native.to_gray_f32 ITU-R 601 luma).
+_BLOB_LAYOUTS = (
+    (4, np.float32, 1),
+    (3, np.uint8, 3),
+    (2, np.uint16, 1),
+    (1, np.uint8, 1),
+)
 
-    The payload is the trailing row-major ``rows*cols*bpp`` block (bpp 1 =
-    ImageUInt8, 2 = ImageUInt16 depth, 4 = ImageFloat) — whatever header
-    srrg2_core prepends is skipped.  Prefers the widest dtype that fits
-    exactly, so a headerless u16 blob is not misread as u8.
+
+def _blob_pixels(buf: bytes, rows: int, cols: int, dtype,
+                 channels: int) -> np.ndarray:
+    arr = np.frombuffer(buf, dtype)
+    if channels > 1:
+        arr = arr.reshape(rows, cols, channels).astype(np.float32)
+        return np.ascontiguousarray(
+            0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1]
+            + 0.114 * arr[:, :, 2]).astype(np.float32)
+    return arr.reshape(rows, cols).astype(np.float32)
+
+
+def _decode_image_blob(raw: bytes, rows: int, cols: int) -> np.ndarray:
+    """Pixels from an srrg2 binary image BLOB.
+
+    Decode preference order:
+      1. the (u64 rows, u64 cols, u32 type) header ``write_boss_stereo``
+         emits — when it matches the message geometry AND the remaining
+         bytes are a whole payload, it disambiguates exactly (a headered
+         uint8 blob whose total length coincides with ``rows*cols*2`` no
+         longer misreads as uint16);
+      2. an exact-size headerless payload, widest dtype first (bpp 4 =
+         ImageFloat, 3 = RGB8 color, 2 = ImageUInt16 depth, 1 = ImageUInt8);
+      3. the trailing ``rows*cols*bpp`` block behind an unknown header
+         (geometry fallback — robust to srrg2_core header variations).
     """
     if rows <= 0 or cols <= 0:
         raise ValueError("BLOB decode needs image_rows/image_cols > 0")
     n = rows * cols
-    for bpp, dtype in ((4, np.float32), (2, np.uint16), (1, np.uint8)):
+    if len(raw) >= 20:
+        hr, hc = np.frombuffer(raw[:16], np.uint64)
+        if int(hr) == rows and int(hc) == cols:
+            body = raw[20:]
+            for bpp, dtype, ch in _BLOB_LAYOUTS:
+                if len(body) == n * bpp:
+                    return _blob_pixels(body, rows, cols, dtype, ch)
+    for bpp, dtype, ch in _BLOB_LAYOUTS:
         if len(raw) == n * bpp:
-            return np.frombuffer(raw, dtype).reshape(rows, cols) \
-                     .astype(np.float32)
-    for bpp, dtype in ((4, np.float32), (2, np.uint16), (1, np.uint8)):
+            return _blob_pixels(raw, rows, cols, dtype, ch)
+    for bpp, dtype, ch in _BLOB_LAYOUTS:
         if len(raw) >= n * bpp:
-            tail = raw[len(raw) - n * bpp:]
-            return np.frombuffer(tail, dtype).reshape(rows, cols) \
-                     .astype(np.float32)
+            return _blob_pixels(raw[len(raw) - n * bpp:], rows, cols,
+                                dtype, ch)
     raise ValueError(
         f"BLOB of {len(raw)} bytes cannot hold a {rows}x{cols} image")
 
@@ -325,6 +360,11 @@ def iter_boss_stereo(path: str, count: Optional[int] = None,
             lefts.append(obj)
         elif t == rt:
             rights.append(obj)
+    # stable-sort rights by timestamp (preserving arrival order among
+    # duplicates): searchsorted needs a sorted array, and a log whose right
+    # messages arrive out of timestamp order would otherwise silently
+    # mispair since only idx-1/idx/idx+1 are probed
+    rights.sort(key=lambda o: float(o["timestamp"]))
     right_ts = [float(o["timestamp"]) for o in rights]
     used = [False] * len(rights)
     emitted = 0
@@ -346,6 +386,69 @@ def iter_boss_stereo(path: str, count: Optional[int] = None,
             left=_load_image(obj, base_dir, blobs, blob_dir),
             right=_load_image(rights[best], base_dir, blobs, blob_dir),
             gt_pose=gts.get(ts),
+        )
+        emitted += 1
+        if count is not None and emitted >= count:
+            return
+
+
+def iter_boss_rgbd(path: str, count: Optional[int] = None,
+                   sync_threshold_s: float = 0.02,
+                   rgb_topic: Optional[str] = None,
+                   depth_topic: Optional[str] = None
+                   ) -> Iterator[RGBDFrame]:
+    """Synchronized RGB-D frames from a BOSS message log.
+
+    The reference's RGB-D converter writes an rgb ImageMessage alongside
+    each depth ImageMessage (convert_rgbd_to_srrg2.cpp:60-120); here the
+    depth topic is identified by a 'depth' substring (or given explicitly)
+    and pairs with the intensity topic by timestamp, mirroring
+    :func:`iter_boss_stereo`'s one-to-one pairing.  Color payloads decode
+    to grayscale intensity (bpp=3 BLOBs); depth stays in raw units (the
+    adaptor applies ``depth_scale``).
+    """
+    base_dir = os.path.dirname(os.path.abspath(path))
+    blob_dir = os.path.basename(path) + ".d"
+    objects = parse_boss_file(path)
+    blobs = _blob_registry(objects)
+    images = [obj for name, obj in objects if name == "ImageMessage"]
+    topics = []
+    for obj in images:
+        t = obj.get("topic", "") or obj.get("frame_id", "")
+        if t not in topics:
+            topics.append(t)
+    if depth_topic is None:
+        cands = [t for t in topics
+                 if "depth" in t or "depth" in _frame_of(t, images)]
+        depth_topic = cands[0] if cands else (topics[-1] if topics else "")
+    if rgb_topic is None:
+        others = [t for t in topics if t != depth_topic]
+        rgb_topic = others[0] if others else ""
+    rgbs = [o for o in images
+            if (o.get("topic", "") or o.get("frame_id", "")) == rgb_topic]
+    depths = [o for o in images
+              if (o.get("topic", "") or o.get("frame_id", "")) == depth_topic]
+    depths.sort(key=lambda o: float(o["timestamp"]))
+    depth_ts = [float(o["timestamp"]) for o in depths]
+    used = [False] * len(depths)
+    emitted = 0
+    for obj in rgbs:
+        ts = float(obj["timestamp"])
+        idx = int(np.searchsorted(depth_ts, ts))
+        best, best_dt = None, sync_threshold_s
+        for k in (idx - 1, idx, idx + 1):
+            if 0 <= k < len(depths) and not used[k]:
+                dt = abs(depth_ts[k] - ts)
+                if dt <= best_dt:
+                    best, best_dt = k, dt
+        if best is None:
+            continue
+        used[best] = True
+        yield RGBDFrame(
+            timestamp=ts,
+            intensity=_load_image(obj, base_dir, blobs, blob_dir),
+            depth=_load_image(depths[best], base_dir, blobs, blob_dir),
+            gt_pose=None,
         )
         emitted += 1
         if count is not None and emitted >= count:
@@ -448,6 +551,68 @@ def write_boss_stereo(path: str, frames, camera: Camera,
                 "seq": seq,
                 "timestamp": fr.timestamp,
                 "events": events,
+            }))
+            n += 1
+    return n
+
+
+def write_boss_rgbd(path: str, frames, camera: Camera,
+                    depth_scale: float = 1.0e-3) -> int:
+    """Write RGB-D frames as a BOSS log with binary BLOB payloads.
+
+    Mirrors the reference RGB-D converter's message surface
+    (convert_rgbd_to_srrg2.cpp:60-120): per frame a COLOR rgb ImageMessage
+    (3-channel uint8 BLOB — the payload shape TUM logs carry) and a uint16
+    depth ImageMessage, plus a CameraInfoMessage with the depth scale.
+    ``frames`` yield RGBDFrame with intensity in 0..255 and depth in raw
+    units (raw * depth_scale = meters).
+    """
+    base_dir = os.path.dirname(os.path.abspath(path))
+    payload_dir = os.path.basename(path) + ".d"
+    os.makedirs(os.path.join(base_dir, payload_dir), exist_ok=True)
+    K = [[camera.fx, 0.0, camera.cx],
+         [0.0, camera.fy, camera.cy],
+         [0.0, 0.0, 1.0]]
+    n = 0
+    next_id = 1
+    with open(path, "w") as f:
+        for seq, fr in enumerate(frames):
+            gray = np.clip(np.asarray(fr.intensity), 0, 255).astype(np.uint8)
+            # replicated-channel color image: decodes back to the same gray
+            rgb = np.repeat(gray[:, :, None], 3, axis=2)
+            depth = np.asarray(fr.depth).astype(np.uint16)
+            for topic, arr, blk in (
+                    ("/camera/rgb/image_color", rgb, "ImageUInt8"),
+                    ("/camera/depth/image_raw", depth, "ImageUInt16")):
+                name = f"{blk.lower()}.{2 * seq + (blk != 'ImageUInt8'):06d}.srrg"
+                raw = (np.uint64([arr.shape[0], arr.shape[1]]).tobytes()
+                       + np.uint32([0]).tobytes() + arr.tobytes())
+                with open(os.path.join(base_dir, payload_dir, name),
+                          "wb") as bf:
+                    bf.write(raw)
+                f.write(_block(f"{blk}BLOBReference", {
+                    "#id": next_id, "file_name": name,
+                    "name_attribute": "image_data",
+                }))
+                f.write(_block("ImageMessage", {
+                    "topic": topic,
+                    "frame_id": topic.split("/")[2],
+                    "seq": seq,
+                    "timestamp": fr.timestamp,
+                    "image_rows": int(arr.shape[0]),
+                    "image_cols": int(arr.shape[1]),
+                    "image_data": {"#pointer": next_id},
+                }))
+                next_id += 1
+            f.write(_block("CameraInfoMessage", {
+                "topic": "/camera/rgb/image_color/info",
+                "frame_id": "rgb",
+                "seq": seq,
+                "timestamp": fr.timestamp,
+                "depth_scale": depth_scale,
+                "projection_model": "pinhole",
+                "distortion_model": "undistorted",
+                "camera_matrix": [x for row in K for x in row],
             }))
             n += 1
     return n

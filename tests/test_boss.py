@@ -185,3 +185,58 @@ def test_boss_duplicate_timestamps_do_not_collapse(tmp_path, rng):
     assert len(got) == 3
     rights = [np.uint8(fr.right).tobytes() for fr in got]
     assert len(set(rights)) == 3
+
+
+def test_boss_blob_rgb_decode(tmp_path, rng):
+    """rows*cols*3 RGB8 BLOBs (the reference RGB-D converter's color
+    payload, convert_rgbd_to_srrg2.cpp:60-120) decode to ITU-R 601
+    grayscale instead of raising or tail-misreading as uint16."""
+    rgb = rng.randint(0, 255, (10, 14, 3)).astype(np.uint8)
+    got = boss._decode_image_blob(rgb.tobytes(), 10, 14)
+    want = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+            + 0.114 * rgb[:, :, 2]).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # with the writer's (u64 rows, u64 cols, u32 type) header prepended
+    hdr = np.uint64([10, 14]).tobytes() + np.uint32([0]).tobytes()
+    np.testing.assert_allclose(
+        boss._decode_image_blob(hdr + rgb.tobytes(), 10, 14), want,
+        atol=1e-4)
+
+
+def test_boss_blob_header_disambiguates(rng):
+    """A headered uint8 blob whose TOTAL length coincides with rows*cols*2
+    decodes via the parsed header, not as uint16 garbage (ADVICE r4):
+    rows*cols == 20 makes header(20) + payload(20) == 40 == n*2."""
+    img = rng.randint(0, 255, (4, 5)).astype(np.uint8)
+    raw = (np.uint64([4, 5]).tobytes() + np.uint32([0]).tobytes()
+           + img.tobytes())
+    assert len(raw) == 4 * 5 * 2
+    np.testing.assert_array_equal(
+        boss._decode_image_blob(raw, 4, 5), img.astype(np.float32))
+
+
+def test_boss_unsorted_right_messages_pair(tmp_path, rng):
+    """Right ImageMessages arriving out of timestamp order still pair with
+    the correct left frames (ADVICE r4: searchsorted over the unsorted
+    arrival-order array probed the wrong neighborhood)."""
+    path = os.path.join(tmp_path, "messages.json")
+
+    def msg(topic, ts, value):
+        rows = [[float(value)] * 6] * 4
+        return ('"ImageMessage" ' + __import__("json").dumps({
+            "topic": topic, "frame_id": topic.strip("/"), "seq": 0,
+            "timestamp": ts, "image_rows": 4, "image_cols": 6,
+            "image_data": rows,
+        }) + "\n\n")
+
+    with open(path, "w") as f:
+        for i in range(3):
+            f.write(msg("/camera_left/image_raw", 100.0 + 0.1 * i, i))
+        for i in (2, 0, 1):   # rights out of order
+            f.write(msg("/camera_right/image_raw", 100.0 + 0.1 * i,
+                        10 + i))
+    got = list(boss.iter_boss_stereo(path))
+    assert len(got) == 3
+    for i, fr in enumerate(got):
+        assert fr.left[0, 0] == i
+        assert fr.right[0, 0] == 10 + i
