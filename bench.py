@@ -293,6 +293,12 @@ def main():
         "value": round(hz_chunk, 2),
         "unit": "frames/s",
         "vs_baseline": round(hz_chunk / REFERENCE_FRAME_HZ, 3),
+        # self-contained device-vs-link accounting (VERDICT r4 item 8):
+        # amortized per-frame device cost measured inside ONE executable
+        # (the only honest stage timing on the tunneled runtime)
+        "device_ms_per_frame": round(t_frame * 1e3, 3),
+        "device_ms_adaptor": round(t_adapt * 1e3, 3),
+        "device_ms_tracker": round(t_track * 1e3, 3),
     }))
 
 

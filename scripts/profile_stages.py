@@ -181,7 +181,7 @@ def main():
               arena, reps=32)
     amortized("add_local_map",
               lambda i, d, a: lc.add_local_map(
-                  d, a.desc, a.pos, a.valid, i).size, db, arena, reps=32)
+                  d, a.desc, a.pos, a.valid, i).next, db, arena, reps=32)
     amortized("detect_and_validate (Q=4096, D=16k)",
               lambda i, a, d: lc.detect_and_validate(
                   a.desc, a.valid, a.pos, 40 + (i & 1), d,

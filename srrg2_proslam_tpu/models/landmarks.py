@@ -64,9 +64,14 @@ def insert(
     (merger_projective_impl.cpp:193-308).
     """
     M = arena.capacity
-    # the r-th taken candidate goes to the r-th free slot (stable argsort
-    # of the validity mask lists free slots first, in index order)
-    free_order = jnp.argsort(arena.valid, stable=True).astype(jnp.int32)
+    # the r-th taken candidate goes to the r-th free slot (in index order);
+    # the rank->slot map is a scattered iota over the free slots — the
+    # same mapping a stable argsort of the validity mask produces, without
+    # paying a capacity-wide sort per frame
+    free_rank = jnp.cumsum(~arena.valid) - 1
+    free_order = jnp.full((M + 1,), M, jnp.int32).at[
+        jnp.where(~arena.valid, free_rank, M)
+    ].set(jnp.arange(M, dtype=jnp.int32))[:M]
     num_free = M - jnp.sum(arena.valid)
     cand_rank = jnp.cumsum(want.astype(jnp.int32)) - 1
     take = want & (cand_rank < max_insertions) & (cand_rank < num_free)

@@ -352,6 +352,13 @@ def track_step(
     unmatched = meas_valid & ~matches.mask & tri_ok
     allow_adds = num_merges < config.merger.target_number_of_merges
 
+    # ONE preference sort serves both the bin ranking and the insertion
+    # order: lm.insert compacts by ``want`` preserving relative order, so
+    # ranking pre-binning candidates and masking the bin losers afterward
+    # yields bit-identical insertions to re-sorting the filtered set
+    # (which cost two extra argsorts per frame, measured round 5)
+    N_meas = meas_points.shape[0]
+    order = jnp.argsort(jnp.where(unmatched, -pref, jnp.inf)).astype(jnp.int32)
     if config.merger.enable_binning:
         # bin occupancy from current landmark projections (merger_projective_
         # impl.cpp:90-124 redesigned as a scatter-occupancy grid)
@@ -370,17 +377,17 @@ def track_step(
         map_bins = jnp.where(arena.valid & map_in_view, bin_id(map_uv), n_bins)
         occupied = jnp.zeros((n_bins + 1,), bool).at[map_bins].set(True)[:n_bins]
         cand_bins = bin_id(meas_uv)
-        # best (highest preference) candidate per bin wins
-        order_key = jnp.where(unmatched, -pref, jnp.inf)
-        rank = jnp.argsort(jnp.argsort(order_key))  # dense rank by preference
+        # best (highest preference) candidate per bin wins; the dense rank
+        # is the inverse permutation of ``order`` (scattered iota — cheaper
+        # than the former argsort-of-argsort)
+        rank = jnp.zeros((N_meas,), jnp.int32).at[order].set(
+            jnp.arange(N_meas, dtype=jnp.int32))
         best_rank = jnp.full((n_bins + 1,), 1 << 30, jnp.int32).at[
             jnp.where(unmatched, cand_bins, n_bins)
         ].min(jnp.where(unmatched, rank, 1 << 30))[:n_bins]
         first_in_bin = rank == best_rank[jnp.clip(cand_bins, 0, n_bins - 1)]
         unmatched = unmatched & first_in_bin & ~occupied[jnp.clip(cand_bins, 0, n_bins - 1)]
 
-    # rank candidates by preference so the scatter takes the best first
-    order = jnp.argsort(jnp.where(unmatched, -pref, jnp.inf))
     T_sensor_to_lm = se3.inverse(X)
     pts_lm = se3.transform_points(T_sensor_to_lm, pts_sensor_new)
     cov0 = initial_covariance(pts_sensor_new[:, 2], cam)
