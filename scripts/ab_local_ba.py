@@ -36,7 +36,10 @@ def run(local_ba: bool):
         loop=LoopDetectorConfig(minimum_age_difference=3),
         local_ba=LocalBAConfig(enabled=local_ba),
         arena_capacity=4096,
-        database_capacity=8192,
+        # 42 ring slots: the lap finishes ~25 maps and the loop MUST
+        # still close against the first ones (a 21-slot ring evicted
+        # maps 0-2 before the return leg -> 0 closures -> no signal)
+        database_capacity=16384,
         max_db_descriptors_per_map=384,
     )
     cam = syn.synthetic_camera(rows=320, cols=416, fx=300.0)
@@ -62,7 +65,8 @@ def main():
         print(f"local_ba={str(enabled):5s}: per-axis t-RMSE "
               f"{np.round(rmse, 4)} m, rot {err.mean_rotation_deg:.3f} deg, "
               f"ATE {err.ate_rmse:.4f} m "
-              f"({slam.num_maps} maps, {slam.num_closures} closures)",
+              f"({slam.num_maps} maps, {slam.num_closures} closures, "
+              f"{slam.num_backstop_rejections} backstop-rej)",
               flush=True)
 
 

@@ -76,6 +76,24 @@ class LoopDetectorConfig:
     relocalize_min_inliers: int = 25
     relocalize_max_chi_inliers: float = 2.0
     relocalize_min_inliers_ratio: float = 0.5
+    # geometric backstop BEYOND the reference's gates: after speculatively
+    # inserting the accepted closures and running PGO, the mean
+    # translational residual of the PRE-EXISTING factors (odometry +
+    # earlier closures) must stay below this bound or the closures are
+    # rejected and the graph reverted.  Under periodic texture a self-
+    # consistent WRONG closure passes the reference's identical Lowe+chi
+    # gates (kitti.conf:970-977) but bends the whole chain against its own
+    # odometry; a true closure only redistributes drift.  <= 0 disables.
+    backstop_max_edge_residual: float = 0.5
+    # candidate-agreement gate (part of the same backstop): when >= 2
+    # candidates validate into one query map, their implied query-map
+    # world positions (T_candidate @ T_query_in_ref) must cluster within
+    # this tolerance; candidates outside the majority cluster are
+    # rejected, and a 1-vs-1 disagreement rejects both (precision first —
+    # under perceptual aliasing with drift larger than the texture
+    # period, odometry consistency alone CANNOT arbitrate, but a true and
+    # an aliased closure always disagree with each other by the period)
+    backstop_agreement_tolerance: float = 1.0
     # 0 = dense query (one [Q, S, budget] pass — fastest while it fits);
     # > 0 = scan the ring max(1, query_tile // budget) SLOTS at a time,
     # bounding query memory for arbitrarily large databases (bit-identical

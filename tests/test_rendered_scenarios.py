@@ -191,25 +191,26 @@ def test_fast_rotation_under_kitti_gates():
 
 @pytest.mark.slow
 def test_aliased_texture_no_false_closures():
-    """Texture-aliasing PRECISION: with the room texture repeating every
-    ~5 m (tex_size=128 at 24 px/m wraps), whole wall sections look
-    IDENTICAL — at the default gates this run accepts a geometrically
-    self-consistent but WRONG closure (measured: maps (32, 44) paired
-    across repeats; the reference's identical Lowe + chi gates admit the
-    same failure — perceptual aliasing defeats appearance gating
-    categorically).  The shipped DEFENSE is gate tightening: at
-    minimum_matches/min_inliers raised to 100, every aliased candidate is
-    rejected and no false closure ever enters the graph."""
+    """Texture-aliasing PRECISION at DEFAULT gates: with the room texture
+    repeating every ~5 m (tex_size=128 at 24 px/m wraps), whole wall
+    sections look IDENTICAL — the reference's Lowe + chi gates
+    (kitti.conf:970-977) accept a geometrically self-consistent but WRONG
+    closure here (measured round 4: maps (32, 44) paired across repeats;
+    perceptual aliasing defeats appearance gating categorically).  The
+    round-5 defense BEATS the reference instead of merely matching it:
+    the geometric backstop (LoopDetectorConfig.backstop_max_edge_residual)
+    re-checks the pre-existing factors' residuals after the speculative
+    PGO and rejects closures that bend the chain against its own odometry
+    — so the DEFAULT minimum_matches now hold precision (VERDICT r4
+    item 3; round 4 shipped gate-tightening to 100 instead)."""
     from srrg2_proslam_tpu.metrics import trajectory as tm
 
     cam = syn.synthetic_camera(rows=320, cols=416, fx=300.0)
     planes = syn.make_room(size_x=20.0, size_z=26.0, tex_size=128)
     poses = syn.loop_trajectory(side_a=12.0, side_b=7.0, step_m=0.45,
                                 turn_frames=8)
-    strict = _config(loop=LoopDetectorConfig(
-        minimum_age_difference=3, minimum_matches=100,
-        relocalize_min_inliers=100))
-    slam = GraphSLAM(cam, strict, model="stereo")
+    config = _config(loop=LoopDetectorConfig(minimum_age_difference=3))
+    slam = GraphSLAM(cam, config, model="stereo")
     first_frame = {}
     acfg = StereoAdaptorConfig()
     gt = []
@@ -221,10 +222,14 @@ def test_aliased_texture_no_false_closures():
         gt.append(np.linalg.inv(np.asarray(T_wc)).astype(np.float32))
     slam.flush()
     assert slam.num_maps >= 8
-    # PRECISION: every closure the strict gates admit must be geometrically
-    # TRUE — the linked maps' GT positions close together (the end-of-loop
-    # revisit is a legitimate closure; what must never pass is a pairing of
-    # distant look-alike walls)
+    # the aliased candidates DO pass the reference gates — the backstop
+    # must be what rejects them (otherwise this run proves nothing)
+    assert slam.num_backstop_rejections >= 1, \
+        "expected the geometric backstop to fire on an aliased candidate"
+    # PRECISION: every closure that survives must be geometrically TRUE —
+    # the linked maps' GT positions close together (the end-of-loop
+    # revisit is a legitimate closure; what must never pass is a pairing
+    # of distant look-alike walls)
     for ref, query in slam.closure_events:
         pa = gt[first_frame[ref]][:3, 3]
         pb = gt[min(first_frame.get(query, len(gt) - 1), len(gt) - 1)][:3, 3]
