@@ -107,8 +107,10 @@ class GraphSLAMConfig:
     # maps spill to host numpy and reload at relocalization — on KITTI-
     # length runs hundreds of maps would otherwise exhaust HBM (the
     # reference keeps every local map in RAM, app_benchmark.cpp:136-169;
-    # HBM needs the discipline RAM never did)
-    max_device_map_arenas: int = 8
+    # HBM needs the discipline RAM never did).  Each arena is ~1.3 MB at
+    # the default capacity, so 64 keeps spills OFF the steady path of
+    # ordinary runs while a day-long mapping session stays bounded
+    max_device_map_arenas: int = 64
     # merged-landmark insertion budget when relocalizing into an old map
     closure_merge_max_insertions: int = 512
     # speculative frame pipeline depth (VERDICT r2 item 1): frames are
@@ -247,6 +249,9 @@ class GraphSLAM:
         # the GIL during transfer) overlaps that RTT with the next chunk's
         # device time instead of serializing it into the consume path
         self._fetcher = ThreadPoolExecutor(max_workers=1)
+        # separate worker for arena/db spills: a spill blocks on the chunk
+        # chain and must never delay a packet fetch
+        self._spiller = ThreadPoolExecutor(max_workers=1)
         # references to finalized local-map arenas, indexed by map id — the
         # store the relocalizer reloads from.  The most recent
         # ``max_device_map_arenas`` stay device-resident (no readback,
@@ -475,7 +480,14 @@ class GraphSLAM:
                 continue
             if isinstance(v, tuple) and len(v) == 3 and v[0] == "stack":
                 v = chunk_ops.take_frame(v[1], v[2])
-            self._map_arenas[old] = self._fetcher.submit(
+            # start the DMA now (non-blocking even on pending values) and
+            # convert on the DEDICATED spill thread: the packet-fetch
+            # worker must never queue behind a spill's chain wait
+            # (measured: spills on the fetcher thread cost ~150 ms/chunk
+            # of readback latency on the tunneled runtime)
+            for leaf in jax.tree_util.tree_leaves(v):
+                leaf.copy_to_host_async()
+            self._map_arenas[old] = self._spiller.submit(
                 lambda t=v: jax.tree_util.tree_map(np.asarray, t))
             # the db mirror entry may pin the same chunk stack — compact it
             # to numpy alongside so the stack can free
@@ -485,7 +497,7 @@ class GraphSLAM:
                     out = self._entry_np(ee)
                     if self._db_entries.get(mid) is ee:
                         self._db_entries[mid] = out
-                self._fetcher.submit(compact)
+                self._spiller.submit(compact)
 
     def _mirror_ring_insert(self, map_id: int, entry: dict):
         """Mirror one ring insertion: the device slot write implicitly

@@ -150,8 +150,8 @@ def test_chunked_device_memory_bounded(rng):
     slam.process_meas_sequence(pts, desc, ok,
                                [0.1 * i for i in range(len(frames))])
     slam.flush()
-    # barrier: the single-worker fetcher has executed every queued spill
-    slam._fetcher.submit(lambda: None).result()
+    # barrier: the spill worker has executed every queued spill
+    slam._spiller.submit(lambda: None).result()
     gc.collect()
 
     assert slam.num_maps >= 50                 # splits happened throughout

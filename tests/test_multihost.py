@@ -104,6 +104,92 @@ assert int(votes[0]) == budget, votes
 print(f"proc {pid}: psum over {ndev} devices across {nproc} processes OK; "
       f"sharded ring query found map {int(cands[0])} with "
       f"{int(votes[0])} votes STAGE-OK", flush=True)
+
+# ---- the FULL orchestrator across OS processes (VERDICT r4 item 5):
+# GraphSLAM in chunked mode on the global mesh — splits, loop closure,
+# PGO and relocalization crossing the process boundary — must produce
+# the SAME trajectory as a local single-process run.  Host-side control
+# is deterministic given the replicated packets, so the two processes
+# stay in lockstep with no extra coordination (parallel/multihost.py).
+from srrg2_proslam_tpu.models.loop_closure import LoopDetectorConfig
+from srrg2_proslam_tpu.models.slam import (
+    GraphSLAM, GraphSLAMConfig, SplittingConfig,
+)
+from srrg2_proslam_tpu.models.tracker import TrackerConfig
+from srrg2_proslam_tpu.ops import se3 as se3_ops
+from srrg2_proslam_tpu.ops.pinhole import Camera
+
+CAM = Camera(fx=450.0, fy=450.0, cx=300.0, cy=200.0, rows=400, cols=600,
+             baseline_px=250.0 * 0.45)
+
+def world(rng, n=600):
+    return np.stack([
+        rng.uniform(-15, 15, n), rng.uniform(-5, 5, n),
+        rng.uniform(2, 40, n)], axis=1).astype(np.float32)
+
+def stereo_measurements(pts_w, desc, T_wc):
+    p_c = pts_w @ T_wc[:3, :3].T + T_wc[:3, 3]
+    z = p_c[:, 2]
+    ok = z > 0.5
+    zs = np.maximum(z, 0.5)
+    u = CAM.fx * p_c[:, 0] / zs + CAM.cx
+    v = CAM.fy * p_c[:, 1] / zs + CAM.cy
+    ur = u - CAM.baseline_px / zs
+    ok &= (u >= 0) & (u < CAM.cols) & (v >= 0) & (v < CAM.rows) & (ur >= 0)
+    return np.stack([u, v, ur, v], axis=1).astype(np.float32), ok
+
+def frames_out_and_back(rng, n_out=10, step_z=0.5):
+    pts_w = world(rng)
+    desc = rng.choice(np.array([-1, 1], np.int8), size=(pts_w.shape[0], 256))
+    pts, oks = [], []
+    T_wc = np.eye(4, dtype=np.float32)
+    for dz in [-step_z] * n_out + [step_z] * n_out:
+        p, ok = stereo_measurements(pts_w, desc, T_wc)
+        pts.append(p)
+        oks.append(ok)
+        T_step = np.asarray(se3_ops.exp(jnp.asarray(
+            np.array([0, 0, dz, 0, 0, 0], np.float32))))
+        T_wc = T_step @ T_wc
+    return (np.stack(pts), np.tile(desc, (len(pts), 1, 1)),
+            np.stack(oks))
+
+def slam_config(use_mesh):
+    return GraphSLAMConfig(
+        tracker=TrackerConfig(),
+        splitting=SplittingConfig(maximum_translation_m=1.2),
+        loop=LoopDetectorConfig(minimum_age_difference=1),
+        arena_capacity=512,
+        database_capacity=2048,
+        max_db_descriptors_per_map=128,   # divisible by the 4-device mesh
+        max_edges=64,
+        enable_loop_closing=True,
+        chunk_size=4,
+    )
+
+rng2 = np.random.RandomState(3)
+pts_all, desc_all, ok_all = frames_out_and_back(rng2)
+ts = [0.1 * i for i in range(pts_all.shape[0])]
+
+def drive(mesh_arg):
+    slam = GraphSLAM(CAM, slam_config(mesh_arg is not None),
+                     model="stereo", mesh=mesh_arg)
+    slam.process_meas_sequence(pts_all, desc_all, ok_all, ts)
+    slam.flush()
+    return slam
+
+ref = drive(None)             # process-local single-controller run
+dist = drive(mesh)            # the SAME run over the global 2-process mesh
+assert dist.num_maps == ref.num_maps, (dist.num_maps, ref.num_maps)
+assert dist.num_closures == ref.num_closures
+assert dist.num_relocalizations == ref.num_relocalizations
+assert ref.num_relocalizations >= 1   # the scenario must exercise reloc
+tr_ref = np.stack(ref.trajectory())
+tr_dist = np.stack(dist.trajectory())
+np.testing.assert_allclose(tr_dist, tr_ref, atol=1e-4)
+print(f"proc {pid}: full chunked GraphSLAM across {nproc} processes — "
+      f"{dist.num_maps} maps, {dist.num_closures} closures, "
+      f"{dist.num_relocalizations} relocs, trajectory equal LOCKSTEP-OK",
+      flush=True)
 """
 
 
@@ -130,7 +216,7 @@ def test_two_process_distributed_psum(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=480)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -139,3 +225,4 @@ def test_two_process_distributed_psum(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert "STAGE-OK" in out, out
+        assert "LOCKSTEP-OK" in out, out
