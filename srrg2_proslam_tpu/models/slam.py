@@ -1015,11 +1015,11 @@ class GraphSLAM:
         assert B > 0, "sequence processing requires config.chunk_size > 0"
         if self.config.local_ba.enabled:
             raise ValueError(
-                "local_ba is per-frame-mode only: the rendered-benchmark "
-                "A/B measures it hurting accuracy (ATE 0.428->0.502, "
-                "scripts/ab_local_ba.py), so the chunked production mode "
-                "deliberately does not carry its dataflow — see PARITY.md "
-                "'Known behavioral divergences'")
+                "local_ba is per-frame-mode only: its keyframe ring does "
+                "not ride the fused chunk op (the smoother landmark "
+                "estimator provides the equivalent structure-refinement "
+                "capability in-op) — see PARITY.md 'Known behavioral "
+                "divergences'")
         assert not self._queue, "cannot mix per-frame and chunked pipelines"
         # pad the sequence to a whole number of chunks so the in-op dynamic
         # slice never clamps onto preceding frames (tail frames are masked
