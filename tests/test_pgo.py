@@ -116,3 +116,49 @@ def test_pgo_cg_scales_to_large_graph():
         errs.append(float(jnp.max(t_err)))
     # 0.12 m absolute over a ~40 m-radius ring (0.3%)
     assert max(errs) < 0.2, max(errs)
+
+
+def test_edge_residuals_flag_inconsistent_closure():
+    """Backstop statistics (ops/pgo.edge_t_residuals / mean_edge_residual):
+    after optimizing a chain with a TRUE closure, every factor's
+    translational residual is small; a closure wrong by meters keeps a
+    large self-residual at the optimized poses (the robustified solver
+    refuses to satisfy it against the anchored chain)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from srrg2_proslam_tpu.ops import pgo, se3
+
+    N = 6
+    g = pgo.empty_graph(8, 16)
+    T = jnp.eye(4)
+    step = se3.exp(jnp.asarray([0.0, 0, -1.0, 0, 0, 0], jnp.float32))
+    for i in range(N):
+        g = pgo.add_pose(g, i, T)
+        T = T @ step
+    for i in range(N - 1):
+        g = pgo.add_edge(g, i, i, i + 1, step)
+    # true closure 0 -> 5 (the chain is exact, measurement = chained step)
+    Z_true = jnp.linalg.matrix_power(np.asarray(step), 5)
+    g_true = pgo.add_edge(g, N - 1, 0, N - 1, jnp.asarray(Z_true))
+    g_opt, _ = pgo.optimize(g_true, pgo.PGOConfig())
+    r = np.asarray(pgo.edge_t_residuals(g_opt))
+    assert r[N - 1] < 0.05, r
+    held = jnp.arange(16) < N - 1
+    assert float(pgo.mean_edge_residual(g_opt, held)) < 0.05
+
+    # false closure: claims pose 5 is 8 m off to the side.  NOTE the
+    # dilution bound: the optimizer spreads a wrong closure's error over
+    # the loop's edges (~err/(n_edges+1) per edge at equilibrium), so the
+    # per-edge chi test only catches errors large relative to the loop
+    # length — the candidate-AGREEMENT gate is the sharp primary defense
+    # (models/loop_closure.py backstop_agreement_tolerance); this test
+    # pins the coarse chi branch
+    Z_false = jnp.asarray(Z_true) @ se3.exp(
+        jnp.asarray([8.0, 0, 0, 0, 0, 0], jnp.float32))
+    g_false = pgo.add_edge(g, N - 1, 0, N - 1, Z_false)
+    g_opt2, _ = pgo.optimize(g_false, pgo.PGOConfig())
+    r2 = np.asarray(pgo.edge_t_residuals(g_opt2))
+    # the false edge's own residual stays well above the 0.5 m backstop
+    # bound OR the chain is visibly bent — either signal rejects it
+    chain2 = float(pgo.mean_edge_residual(g_opt2, held))
+    assert r2[N - 1] > 0.5 or chain2 > 0.5, (r2[N - 1], chain2)
