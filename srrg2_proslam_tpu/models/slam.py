@@ -610,8 +610,13 @@ class GraphSLAM:
             # while any closure edge's own post-PGO residual, or the
             # worsening of the held-out pre-existing factors' mean,
             # exceeds the bound, drop the worst offender and re-optimize
-            held_out = jnp.arange(self.graph.edge_capacity) < pre_edges
-            base_chain = float(pgo.mean_edge_residual(self.graph, held_out))
+            # the mask must track the CURRENT capacity: inserting the
+            # candidates can grow the edge arrays (double-and-copy)
+            def held_out():
+                return jnp.arange(self.graph.edge_capacity) < pre_edges
+
+            base_chain = float(pgo.mean_edge_residual(self.graph,
+                                                      held_out()))
             # drop order = pre-insertion closure-vs-odometry residual (see
             # the chunk op's identical loop for why post-PGO compromise
             # residuals cannot rank conflicting closures)
@@ -630,7 +635,7 @@ class GraphSLAM:
                 insert_and_optimize(accepted)
                 r_all = np.asarray(pgo.edge_t_residuals(self.graph))
                 chain_bad = float(pgo.mean_edge_residual(
-                    self.graph, held_out)) > base_chain + thr
+                    self.graph, held_out())) > base_chain + thr
                 self_r = [r_all[pre_edges + j]
                           for j in range(len(accepted))]
                 if os.environ.get("SLAM_DEBUG_BACKSTOP"):
