@@ -89,6 +89,15 @@ def _slam_config(speculation_depth=0, chunk_size=0):
         arena_capacity=2048,
         database_capacity=16384,
         max_db_descriptors_per_map=512,
+        # pose-graph capacity sized to the run (23 maps + in-flight
+        # headroom; the orchestrator grows double-and-copy if exceeded):
+        # the dense PGO solve is a [6N, 6N] LU at FULL capacity, measured
+        # 127 ms at the old N=512 default vs 13 ms at N=128
+        # (scripts/_pgo_probe) — it runs inside the closure-accepting
+        # chunk AND the backstop loop, so capacity slack was ~25% of the
+        # whole bench wall
+        max_local_maps=128,
+        max_edges=512,
         speculation_depth=speculation_depth,
         chunk_size=chunk_size,
     )

@@ -474,10 +474,56 @@ def _fused_chunk(carry: ChunkCarry, pts, desc, valid, lo, hi,
     return out_carry, out_ys
 
 
+def _fused_chunk_group(carry: ChunkCarry, get_chunk, lo, hi, B: int,
+                       G: int, args):
+    """Run ``G`` sequential B-frame chunks inside ONE device program.
+
+    Measured round 5 (chunk-lag sweep, scripts/_lag_probe retired): each
+    chunk-op INVOCATION on the tunneled runtime carries ~15-18 ms of
+    serialized launch tax that back-to-back dispatch does NOT overlap —
+    at B=16 that tax is ~45% of the whole bench wall.  Growing B instead
+    was measured SLOWER (RESULTS.md round-5 sweep: per-frame compute grows
+    with the scan length faster than the tax shrinks).  Grouping keeps the
+    inner B=16 program shape bit-identical and amortizes one launch over
+    ``G*B`` frames via a ``lax.scan`` over whole chunks; the body compiles
+    once.  ``lo``/``hi`` are in group-frame coordinates [0, G*B).
+
+    ``get_chunk(g)`` returns the g-th chunk's (pts, desc, valid) — for the
+    image op it runs the batched adaptor inside the scan body.
+    """
+    if G == 1:
+        pts, desc, valid = get_chunk(jnp.int32(0))
+        return _fused_chunk(carry, pts, desc, valid, lo, hi, *args)
+
+    def body(c, g):
+        pts, desc, valid = get_chunk(g)
+        lo_g = jnp.clip(lo - g * B, 0, B)
+        hi_g = jnp.clip(hi - g * B, 0, B)
+        return _fused_chunk(c, pts, desc, valid, lo_g, hi_g, *args)
+
+    carry2, ys_g = jax.lax.scan(body, carry, jnp.arange(G, dtype=jnp.int32))
+    # de-interleave the per-chunk flat packets into one [G*B]-frame packet
+    # with the layout _consume_chunk expects (all packet rows, then all
+    # split-meta rows)
+    ps_b = B * PACKET_SIZE
+    packets = ys_g.packet[:, :ps_b].reshape(G * B, PACKET_SIZE)
+    meta = ys_g.packet[:, ps_b:].reshape(G * B, -1)
+    flat = jnp.concatenate([packets.reshape(-1), meta.reshape(-1)])
+
+    def fix(x):
+        return x.reshape((G * x.shape[1],) + x.shape[2:])
+
+    return carry2, ChunkYs(
+        flat, jax.tree_util.tree_map(fix, ys_g.arenas),
+        fix(ys_g.match_idx), fix(ys_g.match_mask), fix(ys_g.split_desc),
+        fix(ys_g.split_pos), fix(ys_g.split_rows), fix(ys_g.loop_row),
+        fix(ys_g.loop_mask), fix(ys_g.loop_T))
+
+
 @partial(jax.jit, static_argnames=(
     "cam", "acfg", "tcfg", "model", "chunk_size", "min_track_inliers",
     "max_translation", "max_rotation", "loop_cfg", "pgo_cfg", "budget",
-    "enable_loop"))
+    "enable_loop", "group_size"))
 def fused_image_chunk_op(
     carry: ChunkCarry,
     a_all: jnp.ndarray,     # [T, H, W] left / intensity image sequence
@@ -497,33 +543,40 @@ def fused_image_chunk_op(
     pgo_cfg: pgo.PGOConfig,
     budget: int,
     enable_loop: bool,
+    group_size: int = 1,
 ):
-    """B frames + their splits in one device program (image front end).
+    """``group_size`` B-frame chunks + their splits in one device program
+    (image front end).
 
     ``lo``/``hi`` implement replay (relocalization restart mid-chunk) and
     the padded final chunk without recompilation: frames outside [lo, hi)
     pass the carry through untouched and are flagged inactive in their
-    packet.  Returns (ChunkCarry', ChunkYs).
+    packet.  Returns (ChunkCarry', ChunkYs) with ``group_size * B`` frame
+    rows.
     """
     B = chunk_size
-    a = jax.lax.dynamic_slice_in_dim(a_all, start, B, 0)
-    b = jax.lax.dynamic_slice_in_dim(b_all, start, B, 0)
-    # batched adaptors, NOT vmap(adapt_*): the dense BRIEF Pallas kernel
-    # must batch through its grid (ops/features.extract_features_batch)
-    if model == "stereo":
-        meas = adapt_stereo_batch(a, b, acfg)
-    else:
-        meas = adapt_rgbd_batch(a, b, acfg)
-    return _fused_chunk(carry, meas.points, meas.desc, meas.valid, lo, hi,
-                        cam, tcfg, model, min_track_inliers,
-                        max_translation, max_rotation, loop_cfg, pgo_cfg,
-                        budget, enable_loop)
+
+    def get_chunk(g):
+        a = jax.lax.dynamic_slice_in_dim(a_all, start + g * B, B, 0)
+        b = jax.lax.dynamic_slice_in_dim(b_all, start + g * B, B, 0)
+        # batched adaptors, NOT vmap(adapt_*): the dense BRIEF Pallas kernel
+        # must batch through its grid (ops/features.extract_features_batch)
+        if model == "stereo":
+            meas = adapt_stereo_batch(a, b, acfg)
+        else:
+            meas = adapt_rgbd_batch(a, b, acfg)
+        return meas.points, meas.desc, meas.valid
+
+    return _fused_chunk_group(
+        carry, get_chunk, lo, hi, B, group_size,
+        (cam, tcfg, model, min_track_inliers, max_translation,
+         max_rotation, loop_cfg, pgo_cfg, budget, enable_loop))
 
 
 @partial(jax.jit, static_argnames=(
     "cam", "tcfg", "model", "chunk_size", "min_track_inliers",
     "max_translation", "max_rotation", "loop_cfg", "pgo_cfg", "budget",
-    "enable_loop"))
+    "enable_loop", "group_size"))
 def fused_meas_chunk_op(
     carry: ChunkCarry,
     points_all: jnp.ndarray,    # [T, N, D] pre-adapted measurement sequence
@@ -541,15 +594,21 @@ def fused_meas_chunk_op(
     pgo_cfg: pgo.PGOConfig,
     budget: int,
     enable_loop: bool,
+    group_size: int = 1,
 ):
     """Fused chunk over pre-adapted measurement sequences (synthetic/tests)."""
     B = chunk_size
-    pts = jax.lax.dynamic_slice_in_dim(points_all, start, B, 0)
-    desc = jax.lax.dynamic_slice_in_dim(desc_all, start, B, 0)
-    valid = jax.lax.dynamic_slice_in_dim(valid_all, start, B, 0)
-    return _fused_chunk(carry, pts, desc, valid, lo, hi, cam, tcfg, model,
-                        min_track_inliers, max_translation, max_rotation,
-                        loop_cfg, pgo_cfg, budget, enable_loop)
+
+    def get_chunk(g):
+        pts = jax.lax.dynamic_slice_in_dim(points_all, start + g * B, B, 0)
+        desc = jax.lax.dynamic_slice_in_dim(desc_all, start + g * B, B, 0)
+        valid = jax.lax.dynamic_slice_in_dim(valid_all, start + g * B, B, 0)
+        return pts, desc, valid
+
+    return _fused_chunk_group(
+        carry, get_chunk, lo, hi, B, group_size,
+        (cam, tcfg, model, min_track_inliers, max_translation,
+         max_rotation, loop_cfg, pgo_cfg, budget, enable_loop))
 
 
 # ---------------------------------------------------------------------------

@@ -135,6 +135,17 @@ class GraphSLAMConfig:
     chunk_size: int = 0
     # chunks in flight before the oldest chunk's packet is consumed
     chunk_lag: int = 2
+    # B-frame chunks fused into ONE dispatch (a lax.scan over whole
+    # chunks inside the chunk op), dividing the per-invocation launch
+    # cost by chunk_group while keeping the inner B-frame program shape
+    # identical.  Measured round 5 on the tunneled v5e: back-to-back
+    # dispatches already overlap fully there (grouping was NET SLOWER —
+    # XLA schedules the scan-of-chunks ~2x slower than the same chunks
+    # as separate executables — and a relocalization replays a whole
+    # group), so 1 is the right setting on that runtime; the knob exists
+    # for links whose launches genuinely serialize.  Bit-equivalent to
+    # ungrouped dispatch (tests/test_chunked.py).
+    chunk_group: int = 1
 
 
 # tracker status machine (app_benchmark.cpp:123-178)
@@ -198,6 +209,7 @@ class _ChunkEntry(NamedTuple):
 
     ys: object        # chunk_ops.ChunkYs device refs
     inputs: object    # chunk_ops.ChunkCarry BEFORE this chunk
+    outputs: object   # chunk_ops.ChunkCarry AFTER this chunk
     start: int        # first global frame of the chunk
     lo: int
     hi: int
@@ -1015,8 +1027,13 @@ class GraphSLAM:
             timestamps, T)
         self._run_sequence()
 
+    @property
+    def _chunk_span(self) -> int:
+        """Frames per chunk-op DISPATCH: chunk_size * chunk_group."""
+        return self.config.chunk_size * max(1, self.config.chunk_group)
+
     def _start_sequence(self, seq: dict, timestamps, T: int):
-        B = self.config.chunk_size
+        B = self._chunk_span
         assert B > 0, "sequence processing requires config.chunk_size > 0"
         if self.config.local_ba.enabled:
             raise ValueError(
@@ -1066,7 +1083,7 @@ class GraphSLAM:
         )
 
     def _run_sequence(self):
-        B = self.config.chunk_size
+        B = self._chunk_span
         T = self._seq["T"]
         while self._seq_cursor < T or self._cqueue:
             if self._seq_cursor < T:
@@ -1095,13 +1112,14 @@ class GraphSLAM:
             config.loop, config.pgo, config.max_db_descriptors_per_map,
             config.enable_loop_closing,
         )
+        group = max(1, config.chunk_group)
         if seq["kind"] == "images":
             return chunk_ops.fused_image_chunk_op(
                 carry, seq["a"], seq["b"], start, lo, hi, self.cam,
-                seq["acfg"], *common)
+                seq["acfg"], *common, group_size=group)
         return chunk_ops.fused_meas_chunk_op(
             carry, seq["a"], seq["b"], seq["c"], start, lo, hi, self.cam,
-            *common)
+            *common, group_size=group)
 
     def _dispatch_chunk(self, start: int, lo: int, hi: int):
         inputs = self._carry
@@ -1115,8 +1133,9 @@ class GraphSLAM:
         self.tracker_state = carry.state
         self.graph = carry.graph
         self.db = carry.db
-        self._cqueue.append(_ChunkEntry(ys=ys, inputs=inputs, start=start,
-                                        lo=lo, hi=hi, packet=packet))
+        self._cqueue.append(_ChunkEntry(ys=ys, inputs=inputs, outputs=carry,
+                                        start=start, lo=lo, hi=hi,
+                                        packet=packet))
 
     def _drain_chunk_queue(self, lag: int, force: bool = False):
         while self._cqueue and (force or len(self._cqueue) > lag):
@@ -1134,7 +1153,7 @@ class GraphSLAM:
         """
         config = self.config
         P = chunk_ops
-        B = config.chunk_size
+        B = self._chunk_span
         K = config.loop.max_candidates
         SM = P.split_meta_size(K)
         with profile_time("chunk_readback"):
@@ -1225,27 +1244,42 @@ class GraphSLAM:
                     self._fused_relocalize(
                         entry, i, g, best_k, int(brow[0]),
                         brow[6:22].reshape(4, 4).astype(np.float32),
-                        row, sm)
+                        row, sm, pkt)
                 return  # rest of this chunk (and queue) is rolled back
 
     def _fused_relocalize(self, entry: _ChunkEntry, i: int, g: int, k: int,
                           cand: int, T_k: np.ndarray, row: np.ndarray,
-                          sm: np.ndarray):
-        """Reload old map ``cand``: replay the chunk to the finish, merge.
+                          sm: np.ndarray, pkt: np.ndarray):
+        """Reload old map ``cand``: recover the at-finish state, merge.
 
         The decision arrived in the finish frame's own chunk packet, so no
         host bookkeeping exists past the finish yet — rollback is simply
-        (a) dropping the not-yet-consumed queue, (b) replaying this chunk
-        from its stored input carries with ``hi = finish + 1`` (bit-exact
-        device state at the split, including its closure factors and PGO),
-        (c) ``reloc_op``, (d) rewinding the sequence cursor so the frames
-        after the finish re-dispatch against the reloaded map.
+        (a) dropping the not-yet-consumed queue, (b) recovering the device
+        state exactly at the split, (c) ``reloc_op``, (d) rewinding the
+        sequence cursor so the frames after the finish re-dispatch against
+        the reloaded map.
+
+        (b) is usually FREE: graph / database / map counters only change at
+        finishes, so when no later frame of this chunk finished a map the
+        already-computed end-of-chunk carry IS the at-finish carry, and the
+        per-frame ``ys`` rows for frames <= i are identical by determinism
+        — no replay dispatch at all.  Only a second finish after frame i
+        (rare: two splits in one chunk behind a closure) forces the replay
+        with ``hi = finish + 1`` (bit-exact, including the split's closure
+        factors and PGO — measured ~165 ms on the closure-accepting chunk,
+        which was ~18% of the whole round-5 bench wall).
         """
         config = self.config
         P = chunk_ops
         self._cqueue.clear()
-        carry_fin, ys_fin = self._invoke_chunk(
-            entry.inputs, entry.start, entry.lo, i + 1)
+        later_finish = any(
+            pkt[j, P.PKT_ACTIVE] > 0.5 and pkt[j, P.PKT_FINISH] > 0.5
+            for j in range(i + 1, pkt.shape[0]))
+        if later_finish:
+            carry_fin, ys_fin = self._invoke_chunk(
+                entry.inputs, entry.start, entry.lo, i + 1)
+        else:
+            carry_fin, ys_fin = entry.outputs, entry.ys
         T_split = np.eye(4, dtype=np.float32)
         T_split[:3, :] = row[P.PKT_T:P.PKT_T + 12].reshape(3, 4)
         velocity = row[P.PKT_VEL:P.PKT_VEL + 6].astype(np.float32)
@@ -1279,7 +1313,7 @@ class GraphSLAM:
         self.frames[-1] = FrameRecord(
             self._seq["ts"][g], cand, (T_k @ T_split).astype(np.float32))
         # rewind the sequence cursor to the frame after the finish
-        B = config.chunk_size
+        B = self._chunk_span
         gnext = g + 1
         self._seq_cursor = (gnext // B) * B
         self._seq_lo = gnext - self._seq_cursor
@@ -1292,7 +1326,7 @@ class GraphSLAM:
         grows double-and-copy — a rare, recompiling event.
         """
         config = self.config
-        B = config.chunk_size
+        B = self._chunk_span
         K = config.loop.max_candidates
         inflight = len(self._cqueue) + 1
         g = self._carry.graph

@@ -39,7 +39,7 @@ def _fresh_jit_caches():
 
 
 
-def _config(chunk, loop=False):
+def _config(chunk, loop=False, group=1):
     return GraphSLAMConfig(
         tracker=TrackerConfig(),
         splitting=SplittingConfig(maximum_translation_m=1.2),
@@ -49,6 +49,7 @@ def _config(chunk, loop=False):
         max_db_descriptors_per_map=512,
         enable_loop_closing=loop,
         chunk_size=chunk,
+        chunk_group=group,
     )
 
 
@@ -60,8 +61,8 @@ def _drive_perframe(frames, loop=False):
     return slam
 
 
-def _drive_chunked(frames, chunk, loop=False):
-    slam = GraphSLAM(CAM, _config(chunk, loop))
+def _drive_chunked(frames, chunk, loop=False, group=1):
+    slam = GraphSLAM(CAM, _config(chunk, loop, group))
     pts = jnp.stack([f[0] for f in frames])
     desc = jnp.stack([f[1] for f in frames])
     valid = jnp.stack([f[2] for f in frames])
@@ -102,6 +103,18 @@ def test_chunked_matches_perframe_with_closures(rng):
     assert ref.num_relocalizations >= 1  # exercises the chunk rollback
     _assert_equivalent(ref, _drive_chunked(frames, 4, loop=True))
     _assert_equivalent(ref, _drive_chunked(frames, 8, loop=True))
+
+
+def test_chunk_group_matches_ungrouped(rng):
+    """chunk_group > 1 fuses G chunks into ONE dispatch (a lax.scan over
+    whole chunks inside the chunk op) — must be bit-equivalent to the
+    per-chunk dispatch cadence, including splits, losses, closures AND
+    the relocalization replay (whose lo/hi live in group coordinates)."""
+    frames = _frames_out_and_back(rng)
+    ref = _drive_perframe(frames, loop=True)
+    assert ref.num_relocalizations >= 1
+    _assert_equivalent(ref, _drive_chunked(frames, 4, loop=True, group=2))
+    _assert_equivalent(ref, _drive_chunked(frames, 4, loop=True, group=3))
 
 
 def test_chunked_status_and_counters(rng):
