@@ -275,7 +275,9 @@ def main():
 
     _err(f"full-loop chunked (B={chunk}):      {hz_chunk:8.1f} frames/s "
          f"({slam_c.num_maps} maps, {slam_c.num_closures} closures, "
-         f"{slam_c.num_relocalizations} relocs)")
+         f"{slam_c.num_relocalizations} relocs; reloc recovery: "
+         f"{slam_c.num_reloc_rollbacks} rollbacks / "
+         f"{slam_c.num_reloc_replays} replays)")
     _err(f"full-loop speculative (depth {depth}): {hz_spec:8.1f} frames/s "
          f"({slam_p.num_maps} maps, {slam_p.num_closures} closures)")
     _err(f"full-loop synchronous (depth 0):  {hz_sync:8.1f} frames/s "

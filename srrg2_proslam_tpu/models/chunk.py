@@ -160,53 +160,76 @@ def _scan_body(state: TrackerState, frames_in_map, pts, desc, valid, active,
                cam: Camera, tcfg: TrackerConfig, model: str,
                min_track_inliers: int, max_translation: float,
                max_rotation: float):
-    """One frame of the chunk: tracker step + on-device status machine."""
-    new_state, stats, _X = track_step(state, pts, desc, valid, cam, tcfg,
-                                      model)
-    initializing = frames_in_map == 0
-    lost = (~initializing) & (stats.num_inliers < min_track_inliers)
-    split = ((~initializing) & (~lost)
-             & ((stats.trans_in_map > max_translation)
-                | (stats.rot_in_map > max_rotation)))
-    finish = (lost | split) & active
+    """One frame of the chunk: tracker step + on-device status machine.
 
-    # reset on finish: fresh arena, identity pose; split keeps the velocity,
-    # lost zeroes it (models/slam.py::_handle_lost / reference matcher
-    # total-loss recovery)
-    fresh = initial_state(state.arena.capacity,
-                          estimator=tcfg.landmark_estimator)
-    vel = jnp.where(lost, jnp.zeros(6, jnp.float32), new_state.velocity)
-    reset_state = fresh._replace(velocity=vel)
-    next_state = _tree_select(finish, reset_state, new_state)
-    next_state = _tree_select(active, next_state, state)
-    next_fim = jnp.where(
-        active, jnp.where(finish, 0, frames_in_map + 1), frames_in_map)
+    The tracker step runs under ``lax.cond(active, ...)`` so INACTIVE
+    frames (outside the chunk's [lo, hi) window: the padded tail, the
+    pre-``lo`` prefix of a post-relocalization rewind chunk, and the
+    post-``hi`` suffix of a replay) cost a carry passthrough instead of a
+    full ~2 ms tracker step — a relocalization replay of ``hi = i + 1``
+    frames pays for ``i + 1`` steps, not B (measured round 5: the replay
+    invocation was ~18% of the bench wall)."""
 
-    finish_code = jnp.where(
-        finish, jnp.where(lost, FINISH_LOST, FINISH_SPLIT), FINISH_NONE)
-    packet = jnp.concatenate([
-        jnp.stack([
-            stats.num_inliers.astype(jnp.float32),
-            stats.trans_in_map,
-            stats.rot_in_map,
-            stats.num_matches.astype(jnp.float32),
-            stats.num_merges.astype(jnp.float32),
-            stats.num_additions.astype(jnp.float32),
-            stats.chi_per_inlier,
-            stats.matcher_stage.astype(jnp.float32),
-            finish_code,
-            active.astype(jnp.float32),
-        ]),
-        new_state.T_lm_robot[:3, :].reshape(12),
-        new_state.velocity,
-    ])
-    ys = _ScanYs(
-        packets=packet,
-        arenas=new_state.arena,      # pre-reset: the finished map on finish
-        match_idx=stats.match_idx,
-        match_mask=stats.match_mask,
-    )
-    return next_state, next_fim, ys
+    def run_frame(_):
+        new_state, stats, _X = track_step(state, pts, desc, valid, cam,
+                                          tcfg, model)
+        initializing = frames_in_map == 0
+        lost = (~initializing) & (stats.num_inliers < min_track_inliers)
+        split = ((~initializing) & (~lost)
+                 & ((stats.trans_in_map > max_translation)
+                    | (stats.rot_in_map > max_rotation)))
+        finish = lost | split
+
+        # reset on finish: fresh arena, identity pose; split keeps the
+        # velocity, lost zeroes it (models/slam.py::_handle_lost /
+        # reference matcher total-loss recovery)
+        fresh = initial_state(state.arena.capacity,
+                              estimator=tcfg.landmark_estimator)
+        vel = jnp.where(lost, jnp.zeros(6, jnp.float32),
+                        new_state.velocity)
+        reset_state = fresh._replace(velocity=vel)
+        next_state = _tree_select(finish, reset_state, new_state)
+        next_fim = jnp.where(finish, 0, frames_in_map + 1)
+
+        finish_code = jnp.where(
+            finish, jnp.where(lost, FINISH_LOST, FINISH_SPLIT), FINISH_NONE)
+        packet = jnp.concatenate([
+            jnp.stack([
+                stats.num_inliers.astype(jnp.float32),
+                stats.trans_in_map,
+                stats.rot_in_map,
+                stats.num_matches.astype(jnp.float32),
+                stats.num_merges.astype(jnp.float32),
+                stats.num_additions.astype(jnp.float32),
+                stats.chi_per_inlier,
+                stats.matcher_stage.astype(jnp.float32),
+                finish_code,
+                jnp.float32(1.0),
+            ]),
+            new_state.T_lm_robot[:3, :].reshape(12),
+            new_state.velocity,
+        ])
+        ys = _ScanYs(
+            packets=packet,
+            arenas=new_state.arena,  # pre-reset: the finished map on finish
+            match_idx=stats.match_idx,
+            match_mask=stats.match_mask,
+        )
+        return next_state, next_fim, ys
+
+    def skip_frame(_):
+        # PKT_ACTIVE = 0 makes both the split pass and the host consume
+        # path ignore this row; the ys payloads are never read
+        packet = jnp.zeros((PACKET_SIZE,), jnp.float32)
+        ys = _ScanYs(
+            packets=packet,
+            arenas=state.arena,
+            match_idx=jnp.full((pts.shape[0],), -1, jnp.int32),
+            match_mask=jnp.zeros((pts.shape[0],), bool),
+        )
+        return state, frames_in_map, ys
+
+    return jax.lax.cond(active, run_frame, skip_frame, None)
 
 
 # ---------------------------------------------------------------------------
@@ -609,6 +632,47 @@ def fused_meas_chunk_op(
         carry, get_chunk, lo, hi, B, group_size,
         (cam, tcfg, model, min_track_inliers, max_translation,
          max_rotation, loop_cfg, pgo_cfg, budget, enable_loop))
+
+
+# ---------------------------------------------------------------------------
+# relocalization carry rollback: undo later finishes without a chunk replay
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def undo_graph_entries(graph: pgo.PoseGraph, dead_poses, dead_edges):
+    """Invalidate the poses/odometry edges later finishes speculatively
+    added (indices >= capacity are padding — scatter drops them).
+
+    Sound only when no later finish retained an accepted closure: closure
+    acceptance rewrites every pose via PGO, which cannot be undone by
+    invalidation (the orchestrator falls back to the bit-exact chunk
+    replay there).  Values in the invalidated slots stay stale, exactly
+    like ``reloc_op``'s dead-map retirement — every insertion writes both
+    value and validity.
+    """
+    return graph._replace(
+        pose_valid=graph.pose_valid.at[dead_poses].set(False),
+        edge_valid=graph.edge_valid.at[dead_edges].set(False),
+    )
+
+
+@jax.jit
+def db_write_slot(db: loop_closure.DescriptorDatabase, slot, desc, points,
+                  rows, valid, map_id, next_val):
+    """Overwrite one ring slot + cursor (reloc rollback of a later insert).
+
+    Restores either the evicted map's budget stack (from the host mirror,
+    re-filled to ``add_local_map``'s exact invalid-row padding) or a free
+    slot (map_id -1, all-invalid).
+    """
+    return db._replace(
+        desc=db.desc.at[slot].set(desc),
+        points=db.points.at[slot].set(points),
+        arena_row=db.arena_row.at[slot].set(rows),
+        valid=db.valid.at[slot].set(valid),
+        map_id=db.map_id.at[slot].set(jnp.int32(map_id)),
+        next=jnp.int32(next_val),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -228,6 +228,16 @@ class GraphSLAM:
     def __init__(self, cam: Camera, config: GraphSLAMConfig = GraphSLAMConfig(),
                  model: str = "stereo", mesh=None):
         self.cam = cam
+        if mesh is not None and config.tracker.gn_pallas:
+            # the fused GN kernel is a single-device Mosaic program; under
+            # the mesh-integrated orchestrator the tracker must stay on the
+            # partitionable XLA path
+            import dataclasses
+
+            config = dataclasses.replace(
+                config,
+                tracker=dataclasses.replace(config.tracker,
+                                            gn_pallas=False))
         self.config = config
         self.model = model
         self.mesh = mesh   # optional jax.sharding.Mesh (see _apply_mesh)
@@ -280,6 +290,12 @@ class GraphSLAM:
         self.num_db_evictions = 0
         self.num_relocalizations = 0
         self.num_losses = 0
+        # chunked-mode relocalization recovery path counters (observability
+        # + tests): ``rollbacks`` undid later finishes on device,
+        # ``replays`` re-invoked the chunk (closure-bearing later finish,
+        # mesh mode, or a missing mirror)
+        self.num_reloc_rollbacks = 0
+        self.num_reloc_replays = 0
         # closures the geometric backstop rejected after passing the
         # reference gates (LoopDetectorConfig.backstop_max_edge_residual)
         self.num_backstop_rejections = 0
@@ -1244,12 +1260,13 @@ class GraphSLAM:
                     self._fused_relocalize(
                         entry, i, g, best_k, int(brow[0]),
                         brow[6:22].reshape(4, 4).astype(np.float32),
-                        row, sm, pkt)
+                        row, sm, pkt, meta)
                 return  # rest of this chunk (and queue) is rolled back
 
     def _fused_relocalize(self, entry: _ChunkEntry, i: int, g: int, k: int,
                           cand: int, T_k: np.ndarray, row: np.ndarray,
-                          sm: np.ndarray, pkt: np.ndarray):
+                          sm: np.ndarray, pkt: np.ndarray,
+                          meta: np.ndarray):
         """Reload old map ``cand``: recover the at-finish state, merge.
 
         The decision arrived in the finish frame's own chunk packet, so no
@@ -1263,23 +1280,49 @@ class GraphSLAM:
         finishes, so when no later frame of this chunk finished a map the
         already-computed end-of-chunk carry IS the at-finish carry, and the
         per-frame ``ys`` rows for frames <= i are identical by determinism
-        — no replay dispatch at all.  Only a second finish after frame i
-        (rare: two splits in one chunk behind a closure) forces the replay
-        with ``hi = finish + 1`` (bit-exact, including the split's closure
-        factors and PGO — measured ~165 ms on the closure-accepting chunk,
-        which was ~18% of the whole round-5 bench wall).
+        — no replay dispatch at all.  A second finish after frame i (two
+        splits in one chunk behind a closure) is ROLLED BACK on device
+        instead of replayed: a later finish only (1) adds a pose + odometry
+        edge (invalidated, like ``reloc_op``'s dead-map retirement), (2)
+        writes a db ring slot (restored from the host mirror / cleared),
+        and (3) bumps the carry counters (overwritten from the finish
+        frame's own split-meta row) — two tiny dispatches instead of the
+        full-chunk replay that measured ~165 ms (~18% of the round-5 bench
+        wall).  The replay remains the fallback for the two cases the
+        rollback cannot cover: a later finish whose accepted closure ran
+        PGO (pose rewrites are not invertible by invalidation), and the
+        mesh-integrated orchestrator (host-built rollback operands would
+        not carry the ring's shardings).
         """
         config = self.config
         P = chunk_ops
+        K = config.loop.max_candidates
         self._cqueue.clear()
-        later_finish = any(
-            pkt[j, P.PKT_ACTIVE] > 0.5 and pkt[j, P.PKT_FINISH] > 0.5
-            for j in range(i + 1, pkt.shape[0]))
-        if later_finish:
-            carry_fin, ys_fin = self._invoke_chunk(
-                entry.inputs, entry.start, entry.lo, i + 1)
-        else:
+        later = [j for j in range(i + 1, pkt.shape[0])
+                 if pkt[j, P.PKT_ACTIVE] > 0.5 and pkt[j, P.PKT_FINISH] > 0.5]
+        if not later:
             carry_fin, ys_fin = entry.outputs, entry.ys
+        else:
+            later_closure = any(
+                meta[j, P.SM_CP + 22 * c + 1] > 0.5
+                for j in later for c in range(K))
+            if later_closure or self.mesh is not None:
+                self.num_reloc_replays += 1
+                carry_fin, ys_fin = self._invoke_chunk(
+                    entry.inputs, entry.start, entry.lo, i + 1)
+            else:
+                try:
+                    carry_fin = self._rollback_later_finishes(
+                        entry.outputs, sm, [meta[j] for j in later])
+                    ys_fin = entry.ys
+                    self.num_reloc_rollbacks += 1
+                except KeyError:
+                    # an evicted map's mirror is gone (shouldn't happen —
+                    # consume order guarantees it; keep the bit-exact path
+                    # as the safety net)
+                    self.num_reloc_replays += 1
+                    carry_fin, ys_fin = self._invoke_chunk(
+                        entry.inputs, entry.start, entry.lo, i + 1)
         T_split = np.eye(4, dtype=np.float32)
         T_split[:3, :] = row[P.PKT_T:P.PKT_T + 12].reshape(3, 4)
         velocity = row[P.PKT_VEL:P.PKT_VEL + 6].astype(np.float32)
@@ -1317,6 +1360,62 @@ class GraphSLAM:
         gnext = g + 1
         self._seq_cursor = (gnext // B) * B
         self._seq_lo = gnext - self._seq_cursor
+
+    def _rollback_later_finishes(self, carry, sm_i: np.ndarray,
+                                 later_meta: list):
+        """At-finish carry from the end-of-chunk carry, by undoing the
+        later finishes' mutations on device (no chunk replay).
+
+        Each later finish added a pose + odometry edge (invalidated — the
+        values stay stale exactly like ``reloc_op``'s dead-map retirement),
+        possibly wrote a db ring slot (restored from the host mirror of the
+        map it evicted, or cleared when the slot was free), and advanced
+        the counters (restored from the finish frame's own split-meta row).
+        The caller guarantees no later finish retained an accepted closure,
+        so no PGO rewrote the poses.  Invalid-row padding of a restored
+        slot matches ``add_local_map``'s fills bit-exactly.
+        """
+        P = chunk_ops
+        cap = carry.graph.capacity
+        ecap = carry.graph.edge_capacity
+        budget = self.config.max_db_descriptors_per_map
+        # pad with out-of-range indices: scatter drops them under jit
+        pad = 8
+        dead_p = np.full((max(pad, len(later_meta)),), cap, np.int32)
+        dead_e = np.full((max(pad, len(later_meta)),), ecap, np.int32)
+        for n, m in enumerate(later_meta):
+            dead_p[n] = int(m[P.SM_NEW])
+            dead_e[n] = int(m[P.SM_ODO])
+        graph = chunk_ops.undo_graph_entries(
+            carry.graph, jnp.asarray(dead_p), jnp.asarray(dead_e))
+        db = carry.db
+        S = db.num_slots
+        next_fin = int(sm_i[P.SM_DBNEXT])
+        for m in reversed(later_meta):
+            if m[P.SM_INS] < 0.5:
+                continue
+            slot = (int(m[P.SM_DBNEXT]) - 1) % S
+            ev = int(m[P.SM_EVICTED])
+            desc = np.full((budget, lm.DESC_BITS), -1, np.int8)
+            points = np.zeros((budget, 3), np.float32)
+            rows = np.zeros((budget,), np.int32)
+            valid = np.zeros((budget,), bool)
+            if ev >= 0:
+                ent = self._entry_np(self._db_entries[ev])
+                n = min(ent["desc"].shape[0], budget)
+                desc[:n] = ent["desc"][:n]
+                points[:n] = ent["points"][:n]
+                rows[:n] = ent["rows"][:n]
+                valid[:n] = True
+            db = chunk_ops.db_write_slot(
+                db, jnp.int32(slot), jnp.asarray(desc), jnp.asarray(points),
+                jnp.asarray(rows), jnp.asarray(valid),
+                ev if ev >= 0 else -1, next_fin)
+        return carry._replace(
+            graph=graph, db=db,
+            edge_count=jnp.int32(int(sm_i[P.SM_EDGES])),
+            num_maps=jnp.int32(int(sm_i[P.SM_NEW]) + 1),
+        )
 
     def _ensure_chunk_capacity(self):
         """Pre-grow the pose graph so in-flight chunks can never overflow.

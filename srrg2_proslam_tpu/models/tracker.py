@@ -83,6 +83,24 @@ class TrackerConfig:
     # the bit-exact fixed-count loop (cross-mode equivalence); production
     # configs may set ~1e-5 to cut the serial GN latency chain
     gn_epsilon: float = 0.0
+    # unroll the GN bursts at compile time instead of a lax.while_loop —
+    # select-for-select identical results (ops/gn.py::gn_iterate).
+    # Measured round 5 and left OFF: the unrolled chain is device-neutral
+    # (1.23 vs 1.25 ms/frame amortized — the per-iteration cost is op
+    # dispatch, not loop-condition sync) and the 3x bigger program more
+    # than doubled the PER-CALL cost of the per-frame modes on the
+    # tunneled runtime (synchronous 27.7 -> 11.7 fps)
+    gn_unroll: bool = False
+    # run each stereo GN burst as ONE fused Pallas kernel
+    # (ops/gn_pallas.py) instead of the XLA op chain: 6.8 vs 46
+    # us/iteration measured on v5e (the chain is pure per-op dispatch
+    # latency; scripts/_gn_probe.py) — ~0.6 ms off the tracker's 1.25
+    # ms/frame at the reference cadence.  Applies only on TPU backends,
+    # for the stereo factor, with the motion-prior factor off; everything
+    # else (CPU tests, RGB-D, mesh-integrated orchestrator) falls back to
+    # gn_iterate.  Equivalence pinned by tests/test_gn_pallas.py
+    # (float-tolerance: reduction order differs)
+    gn_pallas: bool = True
     damping: float = 1e-6             # kitti.conf:831
     min_num_inliers: int = 6          # kitti.conf:994
     chi_threshold: float = 25.0       # RobustifierSaturated (kitti.conf:130-141)
@@ -281,11 +299,26 @@ def track_step(
                 projective_depth_system(
                     Xc, pm, gn_meas, w, mk, cam, config.chi_threshold)
             )
-        X, stats = gn_iterate(
-            with_motion_prior(system), X, config.gn_iterations,
-            damping=config.damping, min_inliers=config.min_num_inliers,
-            epsilon=config.gn_epsilon,
+        use_pallas_gn = (
+            config.gn_pallas and model == "stereo" and not use_prior
+            and jax.default_backend() not in ("cpu",)
         )
+        if use_pallas_gn:
+            from ..ops.gn_pallas import gn_burst_stereo
+
+            X, stats = gn_burst_stereo(
+                X, pts_moving, gn_meas, weights, matches.mask, cam,
+                iterations=config.gn_iterations, damping=config.damping,
+                min_inliers=config.min_num_inliers,
+                epsilon=config.gn_epsilon,
+                chi_threshold=config.chi_threshold,
+            )
+        else:
+            X, stats = gn_iterate(
+                with_motion_prior(system), X, config.gn_iterations,
+                damping=config.damping, min_inliers=config.min_num_inliers,
+                epsilon=config.gn_epsilon, unroll=config.gn_unroll,
+            )
 
     # ---- merge: EKF update of matched landmarks ----------------------------
     M = arena.capacity

@@ -195,6 +195,7 @@ def gn_iterate(
     damping: float = 1e-6,
     min_inliers: int = 6,
     epsilon: float = 0.0,
+    unroll: bool = False,
 ):
     """Run up to ``iterations`` GN steps of a 6-DoF system inside one jit.
 
@@ -205,18 +206,46 @@ def gn_iterate(
     per-step gate because early iterations legitimately start with large
     residuals.
 
-    Termination: a bounded ``while_loop`` exits as soon as the applied
-    twist update drops below ``epsilon`` — the reference solver's
-    SimpleTerminationCriteria(epsilon) (kitti.conf:593-615).  The GN chain
-    is the tracker's serial latency floor (each step is a dependent tiny
-    solve), so converged bursts stop paying for the remaining iterations.
-    The default ``epsilon=0.0`` exits only on an exactly-zero update —
-    BIT-IDENTICAL to the fixed-count loop (remaining iterations would be
-    no-ops), preserving the chunked==per-frame equivalence guarantee; a
-    positive epsilon (TrackerConfig.gn_epsilon) trades that bit-stability
-    for latency, since a 1e-7 cross-mode float difference can change the
-    exit iteration.
+    Termination: the burst stops applying updates as soon as the applied
+    twist drops below ``epsilon`` — the reference solver's
+    SimpleTerminationCriteria(epsilon) (kitti.conf:593-615).  The default
+    ``epsilon=0.0`` stops only on an exactly-zero update — BIT-IDENTICAL
+    to the fixed-count loop (remaining iterations would be no-ops),
+    preserving the chunked==per-frame equivalence guarantee; a positive
+    epsilon (TrackerConfig.gn_epsilon) trades that bit-stability for
+    latency, since a 1e-7 cross-mode float difference can change the exit
+    iteration.
+
+    ``unroll`` chooses the execution scheme, NOT the semantics (the two
+    are select-for-select equivalent, pinned by tests/test_gn.py):
+      * False — a bounded ``lax.while_loop`` that exits early.  Best when
+        iterations are long or vmapped (loop-closure validation).
+      * True — a compile-time-unrolled chain with a sticky stop flag
+        (post-termination iterations compute but never apply).  On TPU the
+        while_loop costs ~60 us PER ITERATION in condition-sync latency —
+        measured round 5, ~0.9 ms of the tracker's 1.25 ms/frame at the
+        reference's 3 rounds x 5 bursts — so the tracker unrolls: the
+        arithmetic is identical, the sync points are gone, and XLA can
+        software-pipeline the chain.
     """
+    dummy = GNStats(jnp.float32(0), jnp.int32(0), jnp.int32(0))
+
+    if unroll:
+        X, stats = X0, dummy
+        dx_norm = jnp.float32(jnp.inf)
+        for _ in range(iterations):
+            live = dx_norm > epsilon
+            H, b, stats_i = system_fn(X)
+            X_new, dx_step = gn_step_dx(X, H, b, damping)
+            ok = stats_i.num_terms >= min_inliers
+            X = jnp.where(live & ok, X_new, X)
+            stats = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(live, a, b), stats_i, stats)
+            dx_norm = jnp.where(
+                live,
+                jnp.where(ok, jnp.linalg.norm(dx_step), jnp.float32(0)),
+                dx_norm)
+        return X, stats
 
     def cond(carry):
         _, _, it, dx_norm = carry
@@ -235,7 +264,6 @@ def gn_iterate(
         dx = jnp.where(ok, jnp.linalg.norm(dx_step), jnp.float32(0))
         return X_next, stats, it + 1, dx
 
-    dummy = GNStats(jnp.float32(0), jnp.int32(0), jnp.int32(0))
     X, stats, _, _ = jax.lax.while_loop(
         cond, body, (X0, dummy, jnp.int32(0), jnp.float32(jnp.inf)))
     return X, stats

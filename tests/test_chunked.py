@@ -105,6 +105,35 @@ def test_chunked_matches_perframe_with_closures(rng):
     _assert_equivalent(ref, _drive_chunked(frames, 8, loop=True))
 
 
+def test_reloc_rollback_avoids_replay(rng):
+    """A relocalization whose chunk contains a LATER finish must recover
+    the at-finish carry by the device ROLLBACK (undo the later finish's
+    pose/edge/db-slot/counters), not the full-chunk replay — and stay
+    bit-equivalent to the per-frame orchestrator.  The replay remains the
+    fallback only for closure-bearing later finishes (PGO pose rewrites
+    are not invertible).
+
+    Scenario: out-and-back triggers the reloc on the return path; the
+    blank frame shortly after forces a LOST finish in the same chunk's
+    pre-reloc rollout (lost finishes never run the closure query, so the
+    later finish is guaranteed closure-free and rollback-eligible)."""
+    frames = _frames_out_and_back(rng)
+    for j in (14, 15):  # return-path frames after the first return split
+        p, d, ok = frames[j]
+        frames[j] = (p, d, jnp.zeros_like(ok))
+    ref = _drive_perframe(frames, loop=True)
+    assert ref.num_relocalizations >= 1
+    hit = 0
+    for chunk in (16, 20):
+        slam = _drive_chunked(frames, chunk, loop=True)
+        _assert_equivalent(ref, slam)
+        assert slam.num_losses == ref.num_losses
+        hit += slam.num_reloc_rollbacks
+    # at least one chunking must place the lost finish after the reloc
+    # frame inside one chunk
+    assert hit >= 1
+
+
 def test_chunk_group_matches_ungrouped(rng):
     """chunk_group > 1 fuses G chunks into ONE dispatch (a lax.scan over
     whole chunks inside the chunk op) — must be bit-equivalent to the

@@ -138,3 +138,31 @@ def test_gn_epsilon_termination_matches_fixed_count(rng):
     assert float(jnp.max(t_err)) < 1e-4
     assert float(ang) < 1e-5
     assert int(s2.num_inliers) == int(s1.num_inliers)
+
+
+def test_gn_unrolled_matches_while_loop(rng):
+    """``unroll=True`` is an execution-scheme switch, not a semantic one:
+    the sticky-stop unrolled chain must return bit-identical (X, stats) to
+    the bounded while_loop for epsilon 0 and positive, including the
+    degenerate min_inliers freeze."""
+    import numpy as np
+    import jax.numpy as jnp
+    from srrg2_proslam_tpu.ops import se3
+    from srrg2_proslam_tpu.ops.gn import gn_iterate, point3_system
+
+    pts = jnp.asarray(rng.uniform(-5, 5, (100, 3)).astype(np.float32))
+    T_gt = se3.exp(jnp.asarray(
+        np.array([0.2, 0.1, -0.4, 0.03, 0.02, -0.05], np.float32)))
+    fixed = se3.transform_points(T_gt, pts)
+    w = jnp.ones(100)
+    for n_valid, eps in ((100, 0.0), (100, 1e-5), (3, 0.0)):
+        m = jnp.arange(100) < n_valid
+        system = lambda X: point3_system(X, pts, fixed, w, m,
+                                         chi_threshold=9.0)
+        X_l, s_l = gn_iterate(system, jnp.eye(4), 12, epsilon=eps)
+        X_u, s_u = gn_iterate(system, jnp.eye(4), 12, epsilon=eps,
+                              unroll=True)
+        np.testing.assert_array_equal(np.asarray(X_l), np.asarray(X_u))
+        assert int(s_l.num_inliers) == int(s_u.num_inliers)
+        np.testing.assert_array_equal(np.asarray(s_l.chi_total),
+                                      np.asarray(s_u.chi_total))
